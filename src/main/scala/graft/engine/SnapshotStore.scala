@@ -1,0 +1,58 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot-versioned table store over Parquet directories.
+  *
+  * The production design targets Iceberg (snapshot ids, appends, time
+  * travel via `VERSION AS OF`); Iceberg's runtime jar is not available in
+  * this sandbox, so this class emulates the *contract* the engine needs —
+  * monotonically increasing snapshot ids, append-only snapshots, reads
+  * pinned to a snapshot id — behind an interface an Iceberg catalog can
+  * replace verbatim (`spark.read.option("snapshot-id", …).table(…)`).
+  *
+  * Layout: `root/<table>/snap-<id>/` parquet per append; `_snapshots` text
+  * manifest, one id per line. A read at snapshot s = union of snap-0..s
+  * (Iceberg append semantics).
+  *
+  * Reference analog: the Postgres state tables the checker re-reads every
+  * batch (repository/SpecimenRepository.java:26-33) — externalized state,
+  * no stream state store, which is exactly why runs are resumable.
+  */
+final class SnapshotStore(root: String) {
+
+  private def tableDir(table: String) = Paths.get(root, table)
+  private def manifest(table: String) = tableDir(table).resolve("_snapshots")
+
+  def snapshots(table: String): Seq[Long] = {
+    val m = manifest(table)
+    if (!Files.exists(m)) Seq.empty
+    else Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty).map(_.toLong)
+  }
+
+  def currentSnapshotId(table: String): Option[Long] = snapshots(table).lastOption
+
+  /** Append `df` as a new snapshot; returns the new snapshot id. */
+  def append(table: String, df: DataFrame): Long = {
+    val id = currentSnapshotId(table).getOrElse(-1L) + 1L
+    df.write.mode("overwrite").parquet(tableDir(table).resolve(s"snap-$id").toString)
+    Files.createDirectories(tableDir(table))
+    Files.write(manifest(table), s"$id\n".getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    id
+  }
+
+  /** Read the table as of `snapshot` (default: current). Append semantics:
+    * state at s = union of all appends ≤ s. */
+  def read(spark: SparkSession, table: String, snapshot: Option[Long] = None): DataFrame = {
+    val ids = snapshots(table)
+    require(ids.nonEmpty, s"table $table has no snapshots")
+    val upTo = snapshot.getOrElse(ids.last)
+    val dirs = ids.filter(_ <= upTo).map(i => tableDir(table).resolve(s"snap-$i").toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  def exists(table: String): Boolean = Files.exists(manifest(table))
+}

@@ -1,0 +1,353 @@
+package graft.engine
+
+import graft.functions.KllMergeAgg.kll_merge_agg
+import graft.functions.KllSketchAgg
+import graft.functions.KllSketchAgg.kll_sketch_agg
+import graft.functions.PcmFunctions.pcm_allclose
+import graft.model.Outcome
+import graft.rules._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Execution config. `saltBuckets` drives the two-phase salted aggregation
+  * on the hot partition key (≈80% of rows share codec=pcm_s16le — see
+  * ClipSynth); `broadcastThresholdBytes` drives explicit broadcast-vs-
+  * shuffle join selection by estimated side size (north rule). */
+final case class EngineConfig(
+    partitionCol: String = "codec",
+    saltBuckets: Int = 16,
+    broadcastThresholdBytes: Long = 64L << 20,
+    minSnrDb: Double = 30.0,
+    /** dedup+reuse: persist the deduplicated event set once instead of
+      * recomputing its shuffle for every rule branch. At cluster scale this
+      * becomes "write the deduped snapshot to a scratch table" — same
+      * pattern, different storage tier. */
+    persistEvents: Boolean = true)
+
+/** verdicts(partition_values, rule_id, pass, violation_count)
+  * violations(clip_id, rule_id, observed, expected)
+  * — the engine's public outputs (FIXTURES.md §2). `unpersist()` releases
+  * the intermediate caches once outputs are materialized. */
+final case class ValidationReport(
+    verdicts: DataFrame,
+    violations: DataFrame,
+    private val cached: Seq[DataFrame] = Nil) {
+  def unpersist(): Unit = cached.foreach(_.unpersist())
+}
+
+/** The validation engine: compiles a `Seq[Rule]` over the clips table into
+  * a minimal set of Spark jobs.
+  *
+  * Dataflow (mirrors the reference pipeline, SURVEY.md §3.1, re-expressed
+  * as Catalyst plans):
+  *
+  *   1. input dedup (S4, RabbitMqConsumerService.java:27)  — exact
+  *      duplicate events dropped BEFORE any rule sees them;
+  *   2. ONE fused, salted two-phase aggregation computes every stats rule
+  *      (null rate, min/max, HLL distinct, KLL drift sketch) per partition
+  *      — the analog of the reference's single pass over the batch;
+  *   3. uniqueness = salted two-phase count on the natural key (S5,
+  *      SourceSystemDataCheckerService.java:42-45);
+  *   4. referential = left-anti joins both directions (J4);
+  *   5. pcm_equality = left-outer diff join vs baseline + 3-way classify
+  *      (J2/J3, SourceSystemDataCheckerService.java:116-154);
+  *   6. verdict/violation routing (A1) + per-partition lineage (W1).
+  */
+object ValidationEngine {
+
+  private val PV = "_pv" // internal partition-values column on violations
+
+  /** Salt derived from the natural key: rows of the same hot *partition*
+    * spread over `saltBuckets` reducers in phase 1, then phase 2 merges the
+    * (few) per-salt partials per partition. All phase-1 aggregates used
+    * here are mergeable (sum/min/max/HLL-union/KLL-merge) by construction. */
+  private def saltCol(cfg: EngineConfig): Column =
+    pmod(xxhash64(col("clip_id")), lit(cfg.saltBuckets))
+
+  private def pvCol(cfg: EngineConfig): Column =
+    concat(lit(cfg.partitionCol + "="), coalesce(col(cfg.partitionCol).cast("string"), lit("null")))
+
+  /** 128-bit full-row fingerprint (two independent xxhash64 lanes — at
+    * 10^12 rows a single 64-bit lane has a non-negligible birthday
+    * collision chance). */
+  private def fpCols: Seq[Column] = Seq(
+    xxhash64(lit(1), col("clip_id"), col("bytes"), col("sr_hz"), col("dur_ms"), col("codec"), col("transcript")).as("_fp1"),
+    xxhash64(lit(2), col("clip_id"), col("bytes"), col("sr_hz"), col("dur_ms"), col("codec"), col("transcript")).as("_fp2"))
+
+  /** Exact-duplicate event removal (S4). Dedup key = full payload
+    * fingerprint; the fingerprint keeps the shuffle key narrow while the
+    * row rides along. */
+  def dedupEvents(clips: DataFrame): DataFrame =
+    clips.select(col("*") +: fpCols: _*).dropDuplicates("_fp1", "_fp2").drop("_fp1", "_fp2")
+
+  /** Metadata-only deduplicated view: the payload participates in the
+    * fingerprint but is DROPPED before the dedup shuffle, so the exchange
+    * carries ~40 bytes/row instead of the multi-KB audio payload. All
+    * metadata rules (stats, uniqueness, referential) run off this. */
+  def dedupEventsMeta(clips: DataFrame): DataFrame =
+    clips.select(col("*") +: fpCols: _*).drop("bytes")
+      .dropDuplicates("_fp1", "_fp2").drop("_fp1", "_fp2")
+
+  /** The fused per-partition stats pass: one salted two-phase aggregation
+    * for ALL stats rules. Returns one row per partition value with a column
+    * per statistic. */
+  def statsPass(events: DataFrame, rules: Seq[Rule], cfg: EngineConfig): DataFrame = {
+    val p1 = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)).as("n_rows"))
+    val p2 = scala.collection.mutable.ArrayBuffer[Column](sum("n_rows").as("n_rows"))
+    rules.foreach {
+      case NullRate(c, _) =>
+        p1 += sum(col(c).isNull.cast("long")).as(s"nulls_$c")
+        p2 += sum(s"nulls_$c").as(s"nulls_$c")
+      case MinMax(c, lo, hi) =>
+        p1 += sum((col(c) < lo || col(c) > hi).cast("long")).as(s"oob_$c")
+        p1 += min(col(c)).as(s"min_$c")
+        p1 += max(col(c)).as(s"max_$c")
+        p2 += sum(s"oob_$c").as(s"oob_$c")
+        p2 += min(s"min_$c").as(s"min_$c")
+        p2 += max(s"max_$c").as(s"max_$c")
+      case ApproxDistinct(c, _) =>
+        p1 += hll_sketch_agg(col(c)).as(s"hll_$c")
+        p2 += hll_sketch_estimate(hll_union_agg(col(s"hll_$c"))).as(s"dv_$c")
+      case Drift(c, _, k) =>
+        p1 += kll_sketch_agg(col(c).cast("double"), k).as(s"kll_$c")
+        p2 += kll_merge_agg(col(s"kll_$c"), k).as(s"kll_$c")
+      case _ => // uniqueness/referential/pcm run as their own (join) jobs
+    }
+    events
+      .groupBy(col(cfg.partitionCol), saltCol(cfg).as("_salt"))
+      .agg(p1.head, p1.tail.toSeq: _*)
+      .groupBy(col(cfg.partitionCol))
+      .agg(p2.head, p2.tail.toSeq: _*)
+      .withColumn(PV, concat(lit(cfg.partitionCol + "="),
+        coalesce(col(cfg.partitionCol).cast("string"), lit("null"))))
+  }
+
+  /** Explicit broadcast-vs-shuffle selection by estimated build-side size
+    * (north rule; the reference always hash-builds in heap,
+    * SourceSystemDataCheckerService.java:42-45 — here the choice is real). */
+  def sizeAwareJoin(left: DataFrame, right: DataFrame, usingKeys: Seq[String],
+      joinType: String, thresholdBytes: Long): DataFrame = {
+    val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    val r = if (rightSize <= thresholdBytes) broadcast(right) else right
+    left.join(r, usingKeys, joinType)
+  }
+
+  // ------------------------------------------------------------ rule jobs
+
+  /** Row-level violations for null-rate / min-max rules: one column-pruned
+    * filter scan over events per rule, all unioned. */
+  private def rowLevelViolations(events: DataFrame, rules: Seq[Rule], cfg: EngineConfig): Seq[DataFrame] =
+    rules.collect {
+      case r @ NullRate(c, _) =>
+        events.filter(col(c).isNull)
+          .select(col("clip_id"), lit(r.ruleId).as("rule_id"),
+            lit("NULL").as("observed"), lit("not null").as("expected"), pvCol(cfg).as(PV))
+      case r @ MinMax(c, lo, hi) =>
+        events.filter(col(c) < lo || col(c) > hi)
+          .select(col("clip_id"), lit(r.ruleId).as("rule_id"),
+            col(c).cast("string").as("observed"), lit(s"[$lo, $hi]").as("expected"), pvCol(cfg).as(PV))
+    }
+
+  /** Salted two-phase uniqueness: phase 1 counts per (key, salt) — the salt
+    * here spreads a pathologically hot key over reducers — phase 2 merges
+    * per key and keeps multiplicity > 1. */
+  def uniquenessViolations(events: DataFrame, rule: Uniqueness, cfg: EngineConfig): DataFrame = {
+    val k = rule.column
+    events
+      .groupBy(col(k).as("_key"), pmod(xxhash64(col(k), col("transcript"), col("dur_ms"), col("sr_hz")), lit(cfg.saltBuckets)).as("_salt"))
+      .agg(count(lit(1)).as("_c"), first(pvCol(cfg)).as(PV))
+      .groupBy(col("_key"))
+      .agg(sum("_c").as("_n"), first(PV).as(PV))
+      .filter(col("_n") > 1)
+      .select(col("_key").as("clip_id"), lit(rule.ruleId).as("rule_id"),
+        col("_n").cast("string").as("observed"), lit("1").as("expected"), col(PV))
+  }
+
+  /** Referential presence both directions via anti-joins (J4 analog). */
+  def referentialViolations(events: DataFrame, parent: DataFrame, rule: Referential,
+      cfg: EngineConfig): Seq[DataFrame] = {
+    val parentKeys = parent.select(col(rule.parentColumn).as(rule.childColumn)).distinct()
+    val missing = sizeAwareJoin(events.select(col(rule.childColumn), pvCol(cfg).as(PV)),
+        parentKeys, Seq(rule.childColumn), "left_anti", cfg.broadcastThresholdBytes)
+      .select(col(rule.childColumn).as("clip_id"), lit(rule.ruleId).as("rule_id"),
+        lit(s"no ${rule.parentTable} row").as("observed"), lit("present").as("expected"), col(PV))
+    if (!rule.bidirectional) Seq(missing)
+    else {
+      val childKeys = events.select(col(rule.childColumn)).distinct()
+      val orphans = sizeAwareJoin(parentKeys, childKeys, Seq(rule.childColumn),
+          "left_anti", cfg.broadcastThresholdBytes)
+        .select(col(rule.childColumn).as("clip_id"), lit(rule.ruleId).as("rule_id"),
+          lit(s"orphan ${rule.parentTable} row").as("observed"),
+          lit("clip present").as("expected"), lit(s"table=${rule.parentTable}").as(PV))
+      Seq(missing, orphans)
+    }
+  }
+
+  /** The core 3-way diff classify (J2/J3): left-outer join current events
+    * against the baseline snapshot on the natural key; absent ⇒ new,
+    * payload-different (PCM SNR < threshold OR transcript ≠) ⇒ changed,
+    * else unchanged. Only new/changed become violations — exactly the
+    * reference's routing.
+    *
+    * Scale design: the diff join ships 128-bit payload *hashes*, not the
+    * multi-KB audio payloads — the wide shuffle shrinks ~50×. Hash-equal ⇒
+    * byte-equal ⇒ unchanged (the reference's byte-equality fast path).
+    * Only hash-mismatched rows ("suspects", typically ≪1%) pay the decode:
+    * a second, suspect-filtered join re-fetches both payloads and runs the
+    * SNR ≥ 30 dB allclose. AQE turns the suspect joins into broadcasts at
+    * runtime when the suspect set is small. */
+  def classifyAgainstBaseline(events: DataFrame, baseline: DataFrame, cfg: EngineConfig): DataFrame = {
+    def h(c: Column, lane: Int): Column = xxhash64(lit(lane), c)
+    val cur = events
+      .withColumn("_h1", h(col("bytes"), 3)).withColumn("_h2", h(col("bytes"), 4))
+      .drop("bytes")
+    val base = baseline.select(col("clip_id"),
+      h(col("bytes"), 3).as("_bh1"), h(col("bytes"), 4).as("_bh2"),
+      col("transcript").as("_bt"))
+    val pre = sizeAwareJoin(cur, base, Seq("clip_id"), "left_outer", cfg.broadcastThresholdBytes)
+      .withColumn("_prelim",
+        when(col("_bh1").isNull, Outcome.New)
+          .when(!(col("transcript") <=> col("_bt")), Outcome.Changed)
+          .when(col("_h1") === col("_bh1") && col("_h2") === col("_bh2"), Outcome.Unchanged)
+          .otherwise(lit("_suspect")))
+
+    val suspectIds = pre.filter(col("_prelim") === "_suspect").select("clip_id").distinct()
+    val curPay = events.select(col("clip_id"), col("codec"), col("bytes"),
+        h(col("bytes"), 3).as("_h1"), h(col("bytes"), 4).as("_h2"))
+      .join(suspectIds, Seq("clip_id"), "left_semi")
+      .dropDuplicates("clip_id", "_h1", "_h2")
+    val basePay = baseline.select(col("clip_id"), col("bytes").as("_bb"))
+      .join(suspectIds, Seq("clip_id"), "left_semi")
+    val resolved = curPay.join(basePay, Seq("clip_id"))
+      .select(col("clip_id"), col("_h1"), col("_h2"),
+        pcm_allclose(col("codec"), col("_bb"), col("bytes"), cfg.minSnrDb).as("_pcm_ok"))
+
+    pre.join(resolved, Seq("clip_id", "_h1", "_h2"), "left_outer")
+      .withColumn("outcome",
+        when(col("_prelim") =!= "_suspect", col("_prelim"))
+          .when(col("_pcm_ok"), Outcome.Unchanged)
+          .otherwise(Outcome.Changed))
+      .drop("_h1", "_h2", "_bh1", "_bh2", "_bt", "_prelim", "_pcm_ok")
+  }
+
+  /** PCM branch works on the RAW (un-deduped) clips: classifying an exact
+    * duplicate yields an identical violation row, so dedup happens on the
+    * tiny violations output (fingerprint-keyed) instead of paying a second
+    * full-payload shuffle before the diff join. Net: ONE shuffle of the
+    * current payload (the join) instead of two. */
+  private def pcmViolations(rawClips: DataFrame, baseline: DataFrame, rule: PcmEquality,
+      cfg: EngineConfig): DataFrame =
+    classifyAgainstBaseline(rawClips.select(col("*") +: fpCols: _*), baseline,
+        cfg.copy(minSnrDb = rule.minSnrDb))
+      .filter(col("outcome") =!= Outcome.Unchanged)
+      .select(col("clip_id"), lit(rule.ruleId).as("rule_id"),
+        col("outcome").as("observed"), lit(Outcome.Unchanged).as("expected"), pvCol(cfg).as(PV),
+        col("_fp1"), col("_fp2"))
+      .dropDuplicates("_fp1", "_fp2")
+      .drop("_fp1", "_fp2")
+
+  /** Drift: KS distance between current and baseline KLL sketches per
+    * partition. One violation row per drifted partition. */
+  def driftViolations(curStats: DataFrame, baseStats: DataFrame, rule: Drift,
+      cfg: EngineConfig): DataFrame = {
+    val ks = udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) 0.0 else KllSketchAgg.ksDelta(a, b))
+    val c = rule.column
+    curStats.select(col(PV), col(s"kll_$c").as("_cur"))
+      .join(baseStats.select(col(PV), col(s"kll_$c").as("_base")), Seq(PV), "left_outer")
+      .withColumn("_ks", ks(col("_cur"), col("_base")))
+      .filter(col("_ks") > rule.maxKs)
+      .select(col(PV).as("clip_id"), lit(rule.ruleId).as("rule_id"),
+        format_string("ks=%.4f", col("_ks")).as("observed"),
+        lit(s"ks<=${rule.maxKs}").as("expected"), col(PV))
+  }
+
+  // --------------------------------------------------------------- driver
+
+  /** Compile + return the full report (lazy DataFrames; nothing runs until
+    * the caller acts on them). `baselineStats` may be a persisted sketch
+    * table from a previous run; if None it is computed from `baseline`. */
+  def run(
+      spark: SparkSession,
+      clips: DataFrame,
+      transcripts: DataFrame,
+      baseline: DataFrame,
+      rules: Seq[Rule],
+      cfg: EngineConfig = EngineConfig(),
+      baselineStats: Option[DataFrame] = None): ValidationReport = {
+    import spark.implicits._
+
+    // every branch except pcm_equality is metadata-only: cache a deduped
+    // projection WITHOUT the heavy audio payload (column pruning applied to
+    // the cache itself, not just the scans); the pcm branch streams the raw
+    // rows through its single diff-join pass instead (see pcmViolations).
+    val eventsMeta0 = dedupEventsMeta(clips)
+    val eventsMeta = if (cfg.persistEvents) eventsMeta0.persist() else eventsMeta0
+    if (cfg.persistEvents) eventsMeta.count() // populate cache BEFORE the fan-out:
+    // the union job schedules independent branch stages concurrently, and an
+    // unpopulated cache would make each of them recompute the dedup shuffle.
+
+    val stats = statsPass(eventsMeta, rules, cfg).persist() // rows = #partitions (tiny)
+
+    val driftRules = rules.collect { case d: Drift => d }
+    val baseStats =
+      if (driftRules.isEmpty) None
+      else Some(baselineStats.getOrElse(statsPass(baseline, driftRules, cfg)))
+
+    val branches: Seq[DataFrame] =
+      rowLevelViolations(eventsMeta, rules, cfg) ++
+      rules.collect { case u: Uniqueness => uniquenessViolations(eventsMeta, u, cfg) } ++
+      rules.collect { case r: Referential => referentialViolations(eventsMeta, transcripts, r, cfg) }.flatten ++
+      rules.collect { case p: PcmEquality => pcmViolations(clips, baseline, p, cfg) } ++
+      driftRules.map(d => driftViolations(stats, baseStats.get, d, cfg))
+
+    val emptyViolations = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("clip_id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rule_id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("observed", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("expected", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(PV, org.apache.spark.sql.types.StringType))))
+    // violations are the SMALL output (only failing rows): persist so the
+    // three consumers (violations write, verdict counts, lineage) run the
+    // expensive rule branches exactly once.
+    val allViolations = branches.foldLeft(emptyViolations)(_ unionByName _).persist()
+
+    // verdict grid: every (partition, rule) pair gets a row, pass unless
+    // violations (or a stats threshold) say otherwise.
+    // include pseudo-partitions that only show up on violations (e.g. the
+    // orphan-transcript direction reports under "table=transcripts")
+    val partitions = stats.select(col(PV)).union(allViolations.select(col(PV))).distinct()
+    val ruleIds = rules.map(_.ruleId).toDF("rule_id")
+    val grid = partitions.crossJoin(ruleIds)
+    val vCounts = allViolations.groupBy(col(PV), col("rule_id")).agg(count(lit(1)).as("violation_count"))
+
+    // threshold rules judged from the stats row, not the violation count
+    val statVerdicts: Seq[DataFrame] = rules.collect {
+      case r @ NullRate(c, maxRate) =>
+        stats.select(col(PV), lit(r.ruleId).as("rule_id"),
+          (col(s"nulls_$c") <= lit(maxRate) * col("n_rows")).as("stat_pass"))
+      case r @ ApproxDistinct(c, minD) =>
+        stats.select(col(PV), lit(r.ruleId).as("rule_id"),
+          (col(s"dv_$c") >= minD).as("stat_pass"))
+    }
+    val statPass = statVerdicts.reduceOption(_ unionByName _)
+
+    var verdicts = grid
+      .join(vCounts, Seq(PV, "rule_id"), "left_outer")
+      .na.fill(0L, Seq("violation_count"))
+    verdicts = statPass match {
+      case Some(sp) => verdicts.join(sp, Seq(PV, "rule_id"), "left_outer")
+      case None => verdicts.withColumn("stat_pass", lit(null).cast("boolean"))
+    }
+    val verdictsOut = verdicts
+      .withColumn("pass", coalesce(col("stat_pass"), col("violation_count") === 0))
+      .select(col(PV).as("partition_values"), col("rule_id"), col("pass"), col("violation_count"))
+
+    ValidationReport(
+      verdicts = verdictsOut,
+      violations = allViolations.drop(PV),
+      cached = Seq(eventsMeta, stats, allViolations))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.engine.{EngineConfig, ValidationEngine}
+import graft.rules._
+import graft.synth.ClipSynth
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val N = 4000
+
+  private lazy val exp = TestOracle.expected(N)
+  private lazy val report = {
+    val clips = ClipSynth.clips(spark, N).toDF()
+    val transcripts = ClipSynth.transcripts(spark, N).toDF()
+    val baseline = ClipSynth.baseline(spark, N).toDF()
+    ValidationEngine.run(spark, clips, transcripts, baseline, Rule.standardPack,
+      EngineConfig(saltBuckets = 4))
+  }
+  private lazy val violations = report.violations.collect()
+    .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+
+  private def byRule(ruleId: String) = violations.filter(_._2 == ruleId)
+
+  test("exact duplicate events are removed before rules (S4)") {
+    assert(exp.events.size < N) // plants guarantee some exact dups
+  }
+
+  test("null-rate violations match oracle") {
+    assert(byRule("null_rate:sr_hz").map(_._1).sorted.toSeq == exp.nullSrRows.sorted)
+    assert(byRule("null_rate:transcript").map(_._1).sorted.toSeq == exp.nullTranscriptRows.sorted)
+  }
+
+  test("min/max violations match oracle (with observed values)") {
+    val got = byRule("min_max:dur_ms").map(v => (v._1, v._3.toInt)).sorted.toSeq
+    assert(got == exp.oobRows.sorted)
+  }
+
+  test("uniqueness violations carry observed multiplicity (S5/PK)") {
+    val got = byRule("uniqueness:clip_id").map(v => v._1 -> v._3.toLong).toMap
+    assert(got == exp.dupKeys)
+    assert(got.nonEmpty)
+  }
+
+  test("referential: clips without transcript rows (missing direction)") {
+    val got = byRule("referential:clip_id->transcripts.clip_id")
+      .filter(_._3.startsWith("no "))
+      .map(_._1).sorted.toSeq
+    assert(got == exp.missingTranscriptRows.sorted)
+    assert(got.nonEmpty)
+  }
+
+  test("referential: orphan transcript rows (reverse direction)") {
+    val got = byRule("referential:clip_id->transcripts.clip_id")
+      .filter(_._3.startsWith("orphan"))
+      .map(_._1).toSet
+    assert(got == exp.orphanTranscriptKeys)
+    assert(got.nonEmpty)
+  }
+
+  test("pcm-equality classifies new/changed exactly like the oracle (J2/J3)") {
+    val got = byRule("pcm_equality").groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    assert(got.getOrElse("new", 0L) == exp.outcomes.getOrElse("new", 0L))
+    assert(got.getOrElse("changed", 0L) == exp.outcomes.getOrElse("changed", 0L))
+    assert(got.getOrElse("new", 0L) > 0 && got.getOrElse("changed", 0L) > 0)
+  }
+
+  test("drift fires on the shifted alaw partition only") {
+    val got = byRule("drift:dur_ms").map(_._1).toSet
+    assert(got == Set("codec=alaw"))
+  }
+
+  test("verdict grid is total and consistent with violations") {
+    val verdicts = report.verdicts.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+    val partitions = verdicts.map(_._1).distinct
+    assert(partitions.toSet.contains("codec=pcm_s16le"))
+    // total: one row per (partition, rule)
+    assert(verdicts.length == partitions.length * Rule.standardPack.size)
+    assert(verdicts.map(v => (v._1, v._2)).distinct.length == verdicts.length)
+    // consistent: fail ⇔ violations (for count-based rules with 0 threshold)
+    verdicts.foreach { case (pv, rule, pass, cnt) =>
+      if (cnt > 0) assert(!pass, s"$pv/$rule has $cnt violations but passes")
+    }
+    // unchanged-only partitions pass pcm_equality
+    val passCount = verdicts.count(_._3)
+    assert(passCount > 0)
+  }
+
+  test("classification is invariant under repartitioning (determinism)") {
+    val clips = ClipSynth.clips(spark, 1000).toDF().repartition(7)
+    val baseline = ClipSynth.baseline(spark, 1000).toDF().repartition(3)
+    val out = ValidationEngine
+      .classifyAgainstBaseline(ValidationEngine.dedupEvents(clips), baseline, EngineConfig())
+      .groupBy("outcome").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp1k = TestOracle.expected(1000)
+    assert(out == exp1k.outcomes)
+  }
+}
