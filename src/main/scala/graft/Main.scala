@@ -53,7 +53,7 @@ object Main {
     val lineage = runner.runResumable(spark, snapshotId, Rule.standardPack, EngineConfig())
     val rows = lineage.collect()
     val secs = (System.nanoTime() - t0) / 1e9
-    if (rows.isEmpty) println(s"[main] resume no-op: all partitions checkpointed for snapshot $snapshotId")
+    if (rows.length == done.size) println(s"[main] resume no-op: all partitions checkpointed for snapshot $snapshotId")
     else {
       println(f"[main] validated snapshot $snapshotId in $secs%.1fs (${n / secs}%.0f clips/s)")
       println("[main] lineage:")

@@ -1,13 +1,440 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine.{EngineConfig, ValidationEngine}
+import graft.multimodal.Multimodal
+import graft.ops.{AnnOps, DedupOps, RelationalOps, TextOps}
+import graft.rules.Rule
+import graft.streaming.StreamOps
+import graft.synth.ClipSynth
+import org.apache.spark.sql.graft.TextExpressions.fingerprint64
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with DuckDB-equivalent SQL in `oracleSql` wherever the
+  * semantics are ANSI-expressible. Non-SQL-expressible operators (sketches,
+  * LSH, heuristics, the audio engine itself) are rows-only here and
+  * oracle-checked in the ScalaTest suites instead. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** clips-corpus size scaled off the sf directory name (sf0.01 → 20k). */
+  private def clipsN(dir: String): Long = {
+    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    math.max(2000L, (sf * 2e6).toLong)
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
+    * validation engine over the synthetic clips corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    clipsVerdicts(spark, "/root/testdata/sf0.001")
+
+  private val reportMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.engine.ValidationReport]()
+
+  private def clipsReport(spark: SparkSession, dir: String) =
+    reportMemo.computeIfAbsent(dir, _ => {
+      val n = clipsN(dir)
+      ValidationEngine.run(spark,
+        ClipSynth.clips(spark, n).toDF(),
+        ClipSynth.transcripts(spark, n).toDF(),
+        ClipSynth.baseline(spark, n).toDF(),
+        Rule.standardPack, EngineConfig())
+    })
+
+  private def clipsVerdicts(spark: SparkSession, dir: String): DataFrame =
+    clipsReport(spark, dir).verdicts.orderBy("partition_values", "rule_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------ aggregation (A2/S4)
+    "q01_agg_stats" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // fused per-group stats: count, nulls, min/max, exact distinct
+    "q02_stats_fused" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").isNull.cast("long")).as("n_null_value"),
+          round(min("value"), 4).as("min_value"),
+          round(max("value"), 4).as("max_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // ------------------------------------------- uniqueness (S5/PK rule)
+    "q03_uniqueness" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("l_orderkey")
+    }),
+
+    // --------------------------------------- referential / anti-join (J4)
+    "q04_anti_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val c = t(dir, "customer")
+      val o = t(dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // ------------------------------------------------- semi-join (M2/L1)
+    "q05_semi_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val c = t(dir, "customer")
+      val o = t(dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // ------------------------------- THE core diff join + classify (J2/J3)
+    "q06_diff_classify" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val orders = t(dir, "orders")
+      val baseline = orders
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + when(col("o_orderkey") % 11 === 0, 1.0).otherwise(0.0))
+            .as("o_totalprice"))
+      RelationalOps.diffClassify(orders, baseline, Seq("o_orderkey"), Seq("o_totalprice"))
+        .groupBy(col("outcome")).agg(count(lit(1)).as("n"))
+        .orderBy("outcome")
+    }),
+
+    // --------------------------------------------- set-equality diff (J4)
+    "q07_set_equality" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      RelationalOps.setEqualityByKey(t(dir, "lineitem"), "l_orderkey", "l_suppkey",
+          col("l_linenumber") % 2 === 1, col("l_linenumber") % 2 === 0)
+        .groupBy(col("sets_equal")).agg(count(lit(1)).as("n"))
+        .orderBy("sets_equal")
+    }),
+
+    // ------------------------------------------------ explode/flatten (P2)
+    "q08_explode_tokens" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------- window: latest-per-key
+    "q09_window_latest" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      RelationalOps.latestPerKey(t(dir, "orders"), "o_custkey",
+          col("o_orderdate").desc, col("o_orderkey").desc)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey")
+    }),
+
+    // ----------------------------------------------------------- top-k
+    "q10_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      RelationalOps.topK(t(dir, "orders"), 10, col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ------------------------------------------- window: running aggregate
+    "q11_window_running" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(dir, "lineitem").filter(col("l_suppkey") < 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_quantity")).over(w), 4).as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // -------------------------------------------------- distinct aggregates
+    "q12_distinct_count" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --------------------------------------------- enrichment join (J1)
+    "q13_join_enrich" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val li = t(dir, "lineitem")
+      val o = t(dir, "orders")
+      val c = t(dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(27,10)")))
+            .cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ------------------------------------------------------- exact dedup
+    "q14_dedup_exact" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      DedupOps.exactDupGroups(t(dir, "lineitem"), "l_orderkey", Seq("l_partkey", "l_suppkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("keep_id"), col("n"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
+
+    // ------------------------------------- token-set duplicates (jaccard=1)
+    "q15_dedup_tokenset" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      DedupOps.jaccardPairs(t(dir, "documents"), "doc_id", "text", 1, 1.0)
+        .select(col("a"), col("b"), col("inter"))
+        .orderBy("a", "b")
+    }),
+
+    // ----------------------------------------- exact n-gram Jaccard pairs
+    "q16_ngram_jaccard" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      DedupOps.jaccardPairs(t(dir, "documents"), "doc_id", "text", 3, 0.2)
+        .orderBy("a", "b")
+    }),
+
+    // --------------------------------- MinHash+LSH near-dup (sketch-based)
+    "q17_minhash_lsh" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      DedupOps.minHashNearDupPairs(t(dir, "documents"), "doc_id", "text",
+          n = 3, k = 32, bands = 8, threshold = 0.2)
+        .orderBy("a", "b")
+    }),
+
+    // ------------------------------------------------- SimHash near-dup
+    "q18_simhash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      DedupOps.simHashNearDupPairs(t(dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("a", "b")
+    }),
+
+    // ------------------------------------------- ANN: brute-force cosine
+    "q19_ann_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      AnnOps.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ------------------------------------------------ ANN: LSH-bucketed
+    "q20_ann_lsh" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      AnnOps.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 5, dim = 64, p = 4, probeRadius = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --------------------------------------- embedding-cosine near-dup
+    "q21_embedding_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      AnnOps.embeddingNearDupPairs(t(dir, "embeddings"), threshold = 0.4, dim = 64, p = 6)
+        .orderBy("a", "b")
+    }),
+
+    // -------------------------------------------------- text quality
+    "q22_text_quality" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val d = t(dir, "documents")
+      d.select((col("doc_id") +: TextOps.qualityMetrics(col("text"))): _*)
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .withColumn("byte_len", col("byte_len").cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // ------------------------------------------------------ language id
+    "q23_lang_id" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // ------------------------------------------------- doc fingerprinting
+    "q24_fingerprint" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "documents")
+        .select(col("doc_id"), fingerprint64(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // -------------------------------------------- regex token counting
+    "q25_token_regex" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.wordTokens(col("text"))).cast("long").as("n_words"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ------------------------------------------------ structured streaming
+    "q26_stream_window" -> ((s, dir) => {
+      StreamOps.hourlyEventCounts(s, s"$dir/events.parquet")
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // ------------------------------------------------ multimodal plumbing
+    "q27_multimodal_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = t(dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
+      Multimodal.extractFeatures(s, media, "doc_id", "media_bytes")
+        .select(col("doc_id"), col("byte_len"), col("n_frames"))
+        .orderBy("doc_id")
+    }),
+
+    // --------------------------------------------- the validation engine
+    "q28_clips_verdicts" -> ((s, dir) => clipsVerdicts(s, dir)),
+    "q29_clips_violations" -> ((s, dir) =>
+      clipsReport(s, dir).violations
+        .groupBy(col("rule_id")).agg(count(lit(1)).as("n"))
+        .orderBy("rule_id"))
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names + ordering). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_stats" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_stats_fused" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_value,
+        |  round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_uniqueness" ->
+      """SELECT l_orderkey, count(*) AS n FROM lineitem
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "q06_diff_classify" ->
+      """WITH baseline AS (
+        |  SELECT o_orderkey,
+        |         o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 1.0 ELSE 0.0 END AS p
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT CASE WHEN b.p IS NULL THEN 'new'
+        |            WHEN a.o_totalprice <> b.p THEN 'changed'
+        |            ELSE 'unchanged' END AS outcome, count(*) AS n
+        |FROM orders a LEFT JOIN baseline b ON a.o_orderkey = b.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_set_equality" ->
+      """WITH per_key AS (
+        |  SELECT l_orderkey,
+        |    coalesce(list_sort(list(DISTINCT l_suppkey) FILTER (WHERE l_linenumber % 2 = 1)), []) =
+        |    coalesce(list_sort(list(DISTINCT l_suppkey) FILTER (WHERE l_linenumber % 2 = 0)), [])
+        |      AS sets_equal
+        |  FROM lineitem GROUP BY 1)
+        |SELECT sets_equal, count(*) AS n FROM per_key GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q08_explode_tokens" ->
+      """SELECT doc_id, count(*) AS n_tokens
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_window_latest" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q10_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q11_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q12_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_join_enrich" ->
+      """SELECT c_mktsegment,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,10))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_dedup_exact" ->
+      """SELECT l_partkey, l_suppkey, min(l_orderkey) AS keep_id, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""".stripMargin,
+    "q15_dedup_tokenset" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS s FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |          FROM dt x JOIN dt y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, inter FROM inter
+        |JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 1.0 ORDER BY a, b""".stripMargin,
+    "q16_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |sh AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+        |       FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)),
+        |dt AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |          FROM dt x JOIN dt y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, inter, sa.n + sb.n - inter AS uni FROM pairs
+        |JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2 ORDER BY a, b""".stripMargin,
+    "q19_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |sims AS (SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+        |    round(sim, 3) AS sim
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q22_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len,
+        |  round((length(text) - length(replace(text, ' ', ''))) * 1.0 / length(text), 4) AS space_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_token_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(27,10))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q27_multimodal_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(floor((length(text) + 255) / 256.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -54,9 +54,9 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
     else rules
 
     if (pending.isEmpty && done.contains(OrphanPv)) {
-      import spark.implicits._
-      return Seq.empty[(Long, String, Seq[String], Long, Long)]
-        .toDF("snapshot_id", "partition_values", "rules_evaluated", "violation_count", "wall_ms")
+      // no-op resume: everything checkpointed — return the existing lineage
+      // (idempotent: the result is "the state after this run" either way)
+      return outStore.read(spark, LineageTable).filter(col("snapshot_id") === snapshotId)
     }
 
     val t0 = System.nanoTime()

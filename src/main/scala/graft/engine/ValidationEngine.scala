@@ -3,6 +3,7 @@ package graft.engine
 import graft.functions.KllMergeAgg.kll_merge_agg
 import graft.functions.KllSketchAgg
 import graft.functions.KllSketchAgg.kll_sketch_agg
+import graft.functions.PcmFunctions
 import graft.functions.PcmFunctions.pcm_allclose
 import graft.model.Outcome
 import graft.rules._
@@ -16,13 +17,19 @@ import org.apache.spark.sql.functions._
 final case class EngineConfig(
     partitionCol: String = "codec",
     saltBuckets: Int = 16,
-    broadcastThresholdBytes: Long = 64L << 20,
+    broadcastThresholdBytes: Long = 10L << 20,
     minSnrDb: Double = 30.0,
     /** dedup+reuse: persist the deduplicated event set once instead of
       * recomputing its shuffle for every rule branch. At cluster scale this
       * becomes "write the deduped snapshot to a scratch table" — same
       * pattern, different storage tier. */
-    persistEvents: Boolean = true)
+    persistEvents: Boolean = true,
+    /** When true, the pcm_equality diff decodes and SNR-compares EVERY
+      * matched row instead of short-circuiting byte-hash-equal pairs —
+      * semantically identical (byte-equal ⇒ SNR=∞), but compute-weighted
+      * like a production audio-validation profile. The default hash-first
+      * path is bandwidth-bound and ~an order of magnitude cheaper. */
+    fullDecodeVerify: Boolean = false)
 
 /** verdicts(partition_values, rule_id, pass, violation_count)
   * violations(clip_id, rule_id, observed, expected)
@@ -196,14 +203,20 @@ object ValidationEngine {
     * a second, suspect-filtered join re-fetches both payloads and runs the
     * SNR ≥ 30 dB allclose. AQE turns the suspect joins into broadcasts at
     * runtime when the suspect set is small. */
-  def classifyAgainstBaseline(events: DataFrame, baseline: DataFrame, cfg: EngineConfig): DataFrame = {
+  def classifyAgainstBaseline(events: DataFrame, baseline: DataFrame, cfg: EngineConfig,
+      cacheHook: DataFrame => DataFrame = identity): DataFrame = {
+    if (cfg.fullDecodeVerify) return classifyFullDecode(events, baseline, cfg)
     def h(c: Column, lane: Int): Column = xxhash64(lit(lane), c)
-    val cur = events
+    // hash projections are CACHED (narrow: ~60B/row without payload) —
+    // the plan references them from several branches (suspect derivation,
+    // suspect fetch semis, final join) and recomputing them re-reads and
+    // re-hashes the multi-KB payload column each time.
+    val cur = cacheHook(events
       .withColumn("_h1", h(col("bytes"), 3)).withColumn("_h2", h(col("bytes"), 4))
-      .drop("bytes")
-    val base = baseline.select(col("clip_id"),
+      .drop("bytes"))
+    val base = cacheHook(baseline.select(col("clip_id"),
       h(col("bytes"), 3).as("_bh1"), h(col("bytes"), 4).as("_bh2"),
-      col("transcript").as("_bt"))
+      col("transcript").as("_bt")))
     val pre = sizeAwareJoin(cur, base, Seq("clip_id"), "left_outer", cfg.broadcastThresholdBytes)
       .withColumn("_prelim",
         when(col("_bh1").isNull, Outcome.New)
@@ -211,7 +224,8 @@ object ValidationEngine {
           .when(col("_h1") === col("_bh1") && col("_h2") === col("_bh2"), Outcome.Unchanged)
           .otherwise(lit("_suspect")))
 
-    val suspectIds = pre.filter(col("_prelim") === "_suspect").select("clip_id").distinct()
+    val suspectIds = cacheHook(
+      pre.filter(col("_prelim") === "_suspect").select("clip_id").distinct())
     val curPay = events.select(col("clip_id"), col("codec"), col("bytes"),
         h(col("bytes"), 3).as("_h1"), h(col("bytes"), 4).as("_h2"))
       .join(suspectIds, Seq("clip_id"), "left_semi")
@@ -236,15 +250,33 @@ object ValidationEngine {
     * full-payload shuffle before the diff join. Net: ONE shuffle of the
     * current payload (the join) instead of two. */
   private def pcmViolations(rawClips: DataFrame, baseline: DataFrame, rule: PcmEquality,
-      cfg: EngineConfig): DataFrame =
+      cfg: EngineConfig, cacheHook: DataFrame => DataFrame): DataFrame =
     classifyAgainstBaseline(rawClips.select(col("*") +: fpCols: _*), baseline,
-        cfg.copy(minSnrDb = rule.minSnrDb))
+        cfg.copy(minSnrDb = rule.minSnrDb), cacheHook)
       .filter(col("outcome") =!= Outcome.Unchanged)
       .select(col("clip_id"), lit(rule.ruleId).as("rule_id"),
         col("outcome").as("observed"), lit(Outcome.Unchanged).as("expected"), pvCol(cfg).as(PV),
         col("_fp1"), col("_fp2"))
       .dropDuplicates("_fp1", "_fp2")
       .drop("_fp1", "_fp2")
+
+  /** Full-decode classify: the payloads ride the join and every matched row
+    * runs decode + SNR (the north rule's per-row invariant evaluated
+    * literally). Used when `cfg.fullDecodeVerify` — compute-weighted, so it
+    * scales with cores where the hash-first path saturates memory
+    * bandwidth. */
+  private def classifyFullDecode(events: DataFrame, baseline: DataFrame,
+      cfg: EngineConfig): DataFrame = {
+    val base = baseline.select(col("clip_id"),
+      col("bytes").as("_bb"), col("transcript").as("_bt"))
+    sizeAwareJoin(events, base, Seq("clip_id"), "left_outer", cfg.broadcastThresholdBytes)
+      .withColumn("outcome",
+        when(col("_bb").isNull, Outcome.New)
+          .when(!PcmFunctions.pcm_snr_db(col("codec"), col("_bb"), col("bytes"))
+            .geq(cfg.minSnrDb) || !(col("transcript") <=> col("_bt")), Outcome.Changed)
+          .otherwise(Outcome.Unchanged))
+      .drop("_bb", "_bt")
+  }
 
   /** Drift: KS distance between current and baseline KLL sketches per
     * partition. One violation row per drifted partition. */
@@ -277,6 +309,11 @@ object ValidationEngine {
       baselineStats: Option[DataFrame] = None): ValidationReport = {
     import spark.implicits._
 
+    val extraCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val cacheHook: DataFrame => DataFrame =
+      if (!cfg.persistEvents) identity
+      else df => { val p = df.persist(); extraCaches += p; p }
+
     // every branch except pcm_equality is metadata-only: cache a deduped
     // projection WITHOUT the heavy audio payload (column pruning applied to
     // the cache itself, not just the scans); the pcm branch streams the raw
@@ -298,7 +335,7 @@ object ValidationEngine {
       rowLevelViolations(eventsMeta, rules, cfg) ++
       rules.collect { case u: Uniqueness => uniquenessViolations(eventsMeta, u, cfg) } ++
       rules.collect { case r: Referential => referentialViolations(eventsMeta, transcripts, r, cfg) }.flatten ++
-      rules.collect { case p: PcmEquality => pcmViolations(clips, baseline, p, cfg) } ++
+      rules.collect { case p: PcmEquality => pcmViolations(clips, baseline, p, cfg, cacheHook) } ++
       driftRules.map(d => driftViolations(stats, baseStats.get, d, cfg))
 
     val emptyViolations = spark.createDataFrame(
@@ -348,6 +385,6 @@ object ValidationEngine {
     ValidationReport(
       verdicts = verdictsOut,
       violations = allViolations.drop(PV),
-      cached = Seq(eventsMeta, stats, allViolations))
+      cached = Seq(eventsMeta, stats, allViolations) ++ extraCaches.toSeq)
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.engine.{CheckpointedRunner, EngineConfig, SnapshotStore}
+import graft.rules.Rule
+import graft.synth.ClipSynth
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Resume/lineage semantics (reference analog: `last_checked` bookkeeping,
+  * SpecimenRepository.java:35-40) and snapshot-store behavior. */
+class CheckpointSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("snapshot store: append-only snapshots, pinned reads") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snap").toString
+    val store = new SnapshotStore(root)
+    val s0 = store.append("t", Seq((1, "a")).toDF("k", "v"))
+    val s1 = store.append("t", Seq((2, "b")).toDF("k", "v"))
+    assert(s0 == 0 && s1 == 1)
+    assert(store.read(spark, "t", Some(0)).count() == 1)
+    assert(store.read(spark, "t", Some(1)).count() == 2)
+    assert(store.read(spark, "t").count() == 2)
+    assert(store.currentSnapshotId("t").contains(1L))
+  }
+
+  test("runResumable: full run then no-op resume; lineage covers all partitions") {
+    val root = Files.createTempDirectory("graft-ckpt").toString
+    val store = new SnapshotStore(s"$root/state")
+    val out = new SnapshotStore(s"$root/out")
+    val n = 2000L
+    store.append("baseline_clips", ClipSynth.baseline(spark, n).toDF())
+    store.append("transcripts", ClipSynth.transcripts(spark, n).toDF())
+    val snap = store.append("clips", ClipSynth.clips(spark, n).toDF())
+
+    val runner = new CheckpointedRunner(store, out)
+    val lineage1 = runner.runResumable(spark, snap, Rule.standardPack, EngineConfig(saltBuckets = 4))
+    val pvs = lineage1.select("partition_values").collect().map(_.getString(0)).toSet
+    assert(pvs == Set("codec=pcm_s16le", "codec=ulaw", "codec=alaw", "table=transcripts"))
+
+    val vioCount1 = out.read(spark, runner.ViolationsTable).count()
+    assert(vioCount1 > 0)
+
+    // resume: everything checkpointed → no new work, no new output rows
+    val lineage2 = runner.runResumable(spark, snap, Rule.standardPack, EngineConfig(saltBuckets = 4))
+    assert(lineage2.count() == lineage1.count()) // same lineage table, no new rows for snapshot
+    assert(out.read(spark, runner.ViolationsTable).count() == vioCount1)
+    assert(out.snapshots(runner.ViolationsTable).size == 1) // no second append
+  }
+
+  test("streaming windowed aggregation equals the batch plan on the same input") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamOps.hourlyEventCounts(spark, s"$dir/events.parquet")
+      .orderBy("hour_start", "event_type").collect()
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(27,10)")).cast("double").as("sum_value"))
+      .orderBy("hour_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}

@@ -88,6 +88,17 @@ class EngineSpec extends AnyFunSuite {
     assert(passCount > 0)
   }
 
+  test("full-decode verify mode classifies identically to the hash-first path") {
+    val clips = ClipSynth.clips(spark, 1000).toDF()
+    val baseline = ClipSynth.baseline(spark, 1000).toDF()
+    def outcomes(cfg: EngineConfig) = ValidationEngine
+      .classifyAgainstBaseline(ValidationEngine.dedupEvents(clips), baseline, cfg)
+      .groupBy("outcome").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outcomes(EngineConfig(fullDecodeVerify = true)) ==
+      outcomes(EngineConfig(fullDecodeVerify = false)))
+  }
+
   test("classification is invariant under repartitioning (determinism)") {
     val clips = ClipSynth.clips(spark, 1000).toDF().repartition(7)
     val baseline = ClipSynth.baseline(spark, 1000).toDF().repartition(3)

@@ -1,0 +1,122 @@
+package graft
+
+import graft.ops.{AnnOps, DedupOps, RelationalOps, TextOps}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.graft.TextExpressions.{fingerprint64, simhash64}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-verification of the sketch/heuristic operators that have no SQL
+  * oracle: MinHash-LSH vs exact Jaccard, LSH-ANN recall vs brute force,
+  * SimHash vs token-set similarity, fingerprint/langid determinism. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash-LSH near-dup pairs == exact jaccard pairs at the same threshold") {
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minHashNearDupPairs(docs, "doc_id", "text", 3, 32, 8, 0.2)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates with TRUE jaccard → no false positives
+    assert(lsh.subsetOf(exact))
+    // banded LSH at k=32/b=8 catches essentially all pairs this similar
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall (${lsh.size}/${exact.size})")
+    assert(exact.nonEmpty)
+  }
+
+  test("LSH ANN achieves high recall vs brute-force top-k") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = AnnOps.bruteForceTopK(queries, emb, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = AnnOps.lshTopK(queries, emb, 5, dim = 64, p = 4, probeRadius = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    // uniform-random embeddings are LSH's worst case (top-k sims barely above
+    // the noise floor); p=4 + Hamming-2 multiprobe is the quality setting
+    assert(recall >= 0.55, s"ANN recall=$recall")
+  }
+
+  test("simhash: identical token multisets hash identically; near-dups within hamming") {
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 1, 1.0) // same token sets
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val sig = docs.select(col("doc_id"), simhash64(TextOps.distinctTokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(sig(a) == sig(b), s"identical token sets $a,$b must simhash equal")
+    }
+  }
+
+  test("fingerprint64 is deterministic, order-sensitive, collision-free on corpus") {
+    val fps = docs.select(col("doc_id"), fingerprint64(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fps2 = docs.repartition(7).select(col("doc_id"), fingerprint64(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps == fps2)
+    // distinct texts → distinct fingerprints (500 docs, 61-bit space)
+    val texts = docs.select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byFp = fps.groupBy(_._2).values
+    byFp.foreach(g => assert(g.map(k => texts(k._1)).toSet.size == 1))
+  }
+
+  test("langId returns a profile language or und, deterministically") {
+    val out = docs.select(TextOps.langId(col("text")).as("l")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(out.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+
+  test("diffClassify outcome partition is total and disjoint") {
+    import spark.implicits._
+    val incoming = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val baseline = Seq((1L, "a"), (2L, "X")).toDF("k", "v")
+    val out = RelationalOps.diffClassify(incoming, baseline, Seq("k"), Seq("v"))
+      .select("k", "outcome").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "new"))
+  }
+
+  test("setEqualityByKey detects additions and removals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s1", 1), (1L, "s1", 2),               // equal sets {s1}
+      (2L, "s1", 1), (2L, "s2", 2),               // {s1} vs {s2}
+      (3L, "s1", 1)                               // {s1} vs {}
+    ).toDF("k", "v", "n")
+    val out = RelationalOps.setEqualityByKey(df, "k", "v", col("n") % 2 === 1, col("n") % 2 === 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("multimodal stub decode preserves byte counts through binary plumbing") {
+    val media = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
+    val feats = Multimodal.extractFeatures(spark, media, "doc_id", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = docs.select(col("doc_id"), octet_length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feats == lens)
+  }
+
+  test("sketch merge associativity: KLL sketch == merged partials") {
+    import graft.functions.KllSketchAgg
+    import org.apache.spark.sql.graft.KllSketchAgg.kll_sketch_agg
+    import org.apache.spark.sql.graft.KllMergeAgg.kll_merge_agg
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val single = li.agg(kll_sketch_agg(col("l_quantity"))).collect()(0).getAs[Array[Byte]](0)
+    val merged = li
+      .groupBy(pmod(col("l_orderkey"), lit(13)))
+      .agg(kll_sketch_agg(col("l_quantity")).as("s"))
+      .agg(kll_merge_agg(col("s"))).collect()(0).getAs[Array[Byte]](0)
+    // same data through different partial/merge paths → same quantile estimates
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val a = KllSketchAgg.quantile(single, q)
+      val b = KllSketchAgg.quantile(merged, q)
+      assert(math.abs(a - b) <= math.max(1.0, 0.05 * math.abs(a)), s"q=$q: $a vs $b")
+    }
+    assert(KllSketchAgg.ksDelta(single, merged) < 0.05)
+  }
+}
