@@ -25,6 +25,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -35,6 +35,7 @@ object ScalingBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -42,8 +43,8 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("prep")
-    val n = args.drop(1).headOption.map(_.toLong).getOrElse(1600000L)
-    val workDir = args.drop(2).headOption.getOrElse("/tmp/graft-scaling16")
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(800000L)
+    val workDir = args.drop(2).headOption.getOrElse("/tmp/graft-scaling8")
     val profile = args.drop(3).headOption.getOrElse("full")
     val store = new SnapshotStore(s"$workDir/state")
 

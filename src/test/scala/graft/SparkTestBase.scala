@@ -11,6 +11,7 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
       .config("spark.driver.host", "localhost")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

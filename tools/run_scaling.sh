@@ -5,9 +5,9 @@
 # MUST run detached from the interactive sandbox shell (see ScalingBench).
 set -e
 cd "$(dirname "$0")/.."
-N=${1:-1600000}
-WORK=${2:-/tmp/graft-scaling16}
-REPS=${REPS:-2}
+N=${1:-800000}
+WORK=${2:-/tmp/graft-scaling8}
+REPS=${REPS:-1}
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-16g}
 OUT=/tmp/scaling_cells.jsonl
 : > $OUT
