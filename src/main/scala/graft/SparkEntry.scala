@@ -338,8 +338,8 @@ object SparkEntry {
         |  SELECT o_orderkey,
         |         o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 1.0 ELSE 0.0 END AS p
         |  FROM orders WHERE o_orderkey % 7 <> 0)
-        |SELECT CASE WHEN b.p IS NULL THEN 'new'
-        |            WHEN a.o_totalprice <> b.p THEN 'changed'
+        |SELECT CASE WHEN b.o_orderkey IS NULL THEN 'new'
+        |            WHEN a.o_totalprice IS DISTINCT FROM b.p THEN 'changed'
         |            ELSE 'unchanged' END AS outcome, count(*) AS n
         |FROM orders a LEFT JOIN baseline b ON a.o_orderkey = b.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -11,16 +11,21 @@ import org.apache.spark.sql.functions._
   * row already exists for the pinned snapshot is skipped entirely — the
   * engine's analog of the reference only bumping `last_checked` after a
   * batch fully classified (SourceSystemDataCheckerService.java:62-66;
-  * SpecimenRepository.java:35-40). Lineage is written LAST, after verdicts
-  * and violations landed, so a crash mid-run re-does (idempotently
-  * re-appends under a fresh run_id) only unfinished partitions.
+  * SpecimenRepository.java:35-40).
+  *
+  * Commit protocol: every run gets a fresh `run_id`; verdicts and
+  * violations are appended first carrying that run_id, the lineage rows
+  * (same run_id) are appended LAST. Lineage presence is the commit marker:
+  * a crash between the output appends and the lineage append leaves
+  * orphan output rows whose run_id never appears in lineage — readers use
+  * [[committedOutput]] to filter them out, so re-running after a crash is
+  * idempotent for consumers (no double counting).
   */
 final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
 
   val LineageTable = "lineage"
   val VerdictsTable = "verdicts"
   val ViolationsTable = "violations"
-  private val OrphanPv = "table=transcripts"
 
   def donePartitions(spark: SparkSession, snapshotId: Long): Set[String] =
     if (!outStore.exists(LineageTable)) Set.empty
@@ -29,9 +34,20 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
       .select("partition_values").distinct()
       .collect().map(_.getString(0)).toSet
 
+  /** Verdicts/violations filtered to COMMITTED runs only: rows whose
+    * (snapshot_id, run_id) pair has a lineage row. Un-committed appends
+    * from a crashed run never surface. */
+  def committedOutput(spark: SparkSession, table: String): DataFrame = {
+    val out = outStore.read(spark, table)
+    if (!outStore.exists(LineageTable)) return out.limit(0)
+    val committed = outStore.read(spark, LineageTable)
+      .select(col("snapshot_id"), col("run_id")).distinct()
+    out.join(broadcast(committed), Seq("snapshot_id", "run_id"), "left_semi")
+  }
+
   /** Run `rules` over the pinned clips snapshot, skipping finished
-    * partitions. Returns the lineage rows written this run (empty ⇒ the
-    * run was a no-op resume). */
+    * partitions. Returns the lineage rows for the pinned snapshot (the
+    * pre-existing rows on a no-op resume). */
   def runResumable(
       spark: SparkSession,
       snapshotId: Long,
@@ -47,25 +63,33 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
       coalesce(col(cfg.partitionCol).cast("string"), lit("null")))
 
     val pending = if (done.isEmpty) clips else clips.filter(!pv.isin(done.toSeq: _*))
-    // orphan-direction referential check is partition-independent; run it
-    // only if its pseudo-partition is not checkpointed yet
-    val effRules = if (done.contains(OrphanPv))
-      rules.map { case r: Referential => r.copy(bidirectional = false); case r => r }
-    else rules
 
-    if (pending.isEmpty && done.contains(OrphanPv)) {
-      // no-op resume: everything checkpointed — return the existing lineage
-      // (idempotent: the result is "the state after this run" either way)
+    // The orphan (parent-without-child) direction of a Referential rule is
+    // only well-defined against the FULL child table: running it over a
+    // pending subset would flag every already-validated clip's transcript
+    // as an orphan. It therefore runs exactly once, on the initial
+    // (done-empty) pass — whose verdict grid checkpoints the
+    // "table=<parent>" pseudo-partition even with zero violations — and is
+    // disabled on every resume.
+    val effRules = if (done.isEmpty) rules
+    else rules.map { case r: Referential => r.copy(bidirectional = false); case r => r }
+
+    if (done.nonEmpty && pending.isEmpty) {
+      // no-op resume: every data partition checkpointed — return existing
+      // lineage (idempotent: the result is "the state after this run")
       return outStore.read(spark, LineageTable).filter(col("snapshot_id") === snapshotId)
     }
 
+    val runId = java.util.UUID.randomUUID().toString
     val t0 = System.nanoTime()
     val report = ValidationEngine.run(spark, pending, transcripts, baseline, effRules, cfg)
 
     // route outputs (A1/W1-W3 analog): violations first, verdicts second,
-    // lineage LAST — lineage presence is the commit marker.
-    outStore.append(ViolationsTable, report.violations.withColumn("snapshot_id", lit(snapshotId)))
-    outStore.append(VerdictsTable, report.verdicts.withColumn("snapshot_id", lit(snapshotId)))
+    // lineage LAST — lineage presence is the commit marker for this run_id.
+    val stamp = (df: DataFrame) => df
+      .withColumn("snapshot_id", lit(snapshotId)).withColumn("run_id", lit(runId))
+    outStore.append(ViolationsTable, stamp(report.violations))
+    outStore.append(VerdictsTable, stamp(report.verdicts))
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
     val lineage = report.verdicts
@@ -73,7 +97,8 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
       .agg(collect_set(col("rule_id")).as("rules_evaluated"),
         sum(col("violation_count")).as("violation_count"))
       .select(lit(snapshotId).as("snapshot_id"), col("partition_values"),
-        col("rules_evaluated"), col("violation_count"), lit(wallMs).as("wall_ms"))
+        col("rules_evaluated"), col("violation_count"), lit(wallMs).as("wall_ms"),
+        lit(runId).as("run_id"))
     outStore.append(LineageTable, lineage)
     report.unpersist()
     outStore.read(spark, LineageTable).filter(col("snapshot_id") === snapshotId)

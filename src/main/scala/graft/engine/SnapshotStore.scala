@@ -29,16 +29,34 @@ final class SnapshotStore(root: String) {
   def snapshots(table: String): Seq[Long] = {
     val m = manifest(table)
     if (!Files.exists(m)) Seq.empty
-    else Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty).map(_.toLong)
+    else Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty).map(_.toLong).distinct.sorted
   }
 
   def currentSnapshotId(table: String): Option[Long] = snapshots(table).lastOption
 
-  /** Append `df` as a new snapshot; returns the new snapshot id. */
+  /** Append `df` as a new snapshot; returns the new snapshot id.
+    *
+    * Concurrency/crash safety: the parquet lands in a private temp dir
+    * first, then an atomic directory rename claims the next free snapshot
+    * id (rename onto an existing dir fails, so two concurrent writers can
+    * never overwrite each other — the loser retries with the next id); the
+    * manifest line is written only after the rename, so a crash mid-append
+    * leaves at most an unreferenced temp/snap dir, never a manifest entry
+    * pointing at missing or partial data. */
   def append(table: String, df: DataFrame): Long = {
-    val id = currentSnapshotId(table).getOrElse(-1L) + 1L
-    df.write.mode("overwrite").parquet(tableDir(table).resolve(s"snap-$id").toString)
     Files.createDirectories(tableDir(table))
+    val tmp = tableDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    var id = currentSnapshotId(table).getOrElse(-1L) + 1L
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.move(tmp, tableDir(table).resolve(s"snap-$id"))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => id += 1
+      }
+    }
     Files.write(manifest(table), s"$id\n".getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     id

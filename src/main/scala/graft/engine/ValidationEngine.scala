@@ -162,9 +162,9 @@ object ValidationEngine {
     val k = rule.column
     events
       .groupBy(col(k).as("_key"), pmod(xxhash64(col(k), col("transcript"), col("dur_ms"), col("sr_hz")), lit(cfg.saltBuckets)).as("_salt"))
-      .agg(count(lit(1)).as("_c"), first(pvCol(cfg)).as(PV))
+      .agg(count(lit(1)).as("_c"), min(pvCol(cfg)).as(PV))
       .groupBy(col("_key"))
-      .agg(sum("_c").as("_n"), first(PV).as(PV))
+      .agg(sum("_c").as("_n"), min(PV).as(PV))
       .filter(col("_n") > 1)
       .select(col("_key").as("clip_id"), lit(rule.ruleId).as("rule_id"),
         col("_n").cast("string").as("observed"), lit("1").as("expected"), col(PV))
@@ -217,12 +217,16 @@ object ValidationEngine {
     val base = cacheHook(baseline.select(col("clip_id"),
       h(col("bytes"), 3).as("_bh1"), h(col("bytes"), 4).as("_bh2"),
       col("transcript").as("_bt")))
-    val pre = sizeAwareJoin(cur, base, Seq("clip_id"), "left_outer", cfg.broadcastThresholdBytes)
-      .withColumn("_prelim",
-        when(col("_bh1").isNull, Outcome.New)
-          .when(!(col("transcript") <=> col("_bt")), Outcome.Changed)
-          .when(col("_h1") === col("_bh1") && col("_h2") === col("_bh2"), Outcome.Unchanged)
-          .otherwise(lit("_suspect")))
+    // `pre` — the widest shuffle in the system — is persisted (narrow:
+    // hashes only, no payload) so its three consumers (suspect derivation,
+    // final join, downstream routing) pay the exchange exactly ONCE.
+    val pre = cacheHook(
+      sizeAwareJoin(cur, base, Seq("clip_id"), "left_outer", cfg.broadcastThresholdBytes)
+        .withColumn("_prelim",
+          when(col("_bh1").isNull, Outcome.New)
+            .when(!(col("transcript") <=> col("_bt")), Outcome.Changed)
+            .when(col("_h1") === col("_bh1") && col("_h2") === col("_bh2"), Outcome.Unchanged)
+            .otherwise(lit("_suspect"))))
 
     val suspectIds = cacheHook(
       pre.filter(col("_prelim") === "_suspect").select("clip_id").distinct())
@@ -353,9 +357,23 @@ object ValidationEngine {
 
     // verdict grid: every (partition, rule) pair gets a row, pass unless
     // violations (or a stats threshold) say otherwise.
-    // include pseudo-partitions that only show up on violations (e.g. the
-    // orphan-transcript direction reports under "table=transcripts")
-    val partitions = stats.select(col(PV)).union(allViolations.select(col(PV))).distinct()
+    // The orphan-direction pseudo-partition ("table=<parent>") is included
+    // UNCONDITIONALLY whenever a bidirectional Referential rule ran — not
+    // only when it produced violations — so the resume checkpoint records
+    // that the orphan pass happened even on clean data (a lineage row with
+    // violation_count = 0). Without this, a clean re-run would re-execute
+    // the orphan anti-join against an empty pending set and fabricate
+    // violations for every transcript.
+    val pseudoPvs = rules.collect {
+      case r: Referential if r.bidirectional => s"table=${r.parentTable}"
+    }
+    val pseudo =
+      if (pseudoPvs.isEmpty) spark.emptyDataset[String].toDF(PV)
+      else pseudoPvs.toDF(PV)
+    val partitions = stats.select(col(PV))
+      .union(allViolations.select(col(PV)))
+      .union(pseudo)
+      .distinct()
     val ruleIds = rules.map(_.ruleId).toDF("rule_id")
     val grid = partitions.crossJoin(ruleIds)
     val vCounts = allViolations.groupBy(col(PV), col("rule_id")).agg(count(lit(1)).as("violation_count"))

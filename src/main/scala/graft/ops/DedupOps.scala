@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graft.TextExpressions.simhash64
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -8,13 +9,20 @@ import org.apache.spark.sql.functions._
   * around one shuffle-bounded plan:
   *
   *  - exact: hash-groupBy on content (or any column set);
+  *  - identical token sets (Jaccard = 1.0): fingerprint groupBy — NO join;
   *  - MinHash + LSH: shingle → k-lane minhash → banded bucket join —
-  *    candidate generation never compares all pairs (the only O(n²) step,
-  *    verification, runs on the candidate set alone);
+  *    candidate generation never compares all pairs; candidates are
+  *    verified with one array_intersect per pair;
   *  - SimHash: 64-bit sign-vector fingerprint, banded by 16-bit chunks,
   *    Hamming-verified with `bit_count(a^b)`;
-  *  - n-gram Jaccard: exact similarity via an inverted-index self-join on
-  *    shingles (the verifier/oracle for the sketch-based paths).
+  *  - exact n-gram Jaccard: prefix-filtered inverted index (AllPairs/
+  *    PPJoin-style candidate generation — exactness-preserving) + per-pair
+  *    array_intersect verification. The prefix filter orders each
+  *    document's shingles rarest-first (global document frequency) and
+  *    indexes only the first `n - ceil(t*n) + 1`: any pair with Jaccard ≥ t
+  *    provably shares a prefix shingle, while the hot (high-df) shingles —
+  *    the m² blowup of a naive inverted-index self-join — fall outside the
+  *    prefixes and never generate candidates.
   */
 object DedupOps {
 
@@ -37,22 +45,88 @@ object DedupOps {
     docs.select(col(idCol).as("_id"),
       explode(array_distinct(TextOps.shingles(col(textCol), n))).as("_s"))
 
-  /** Exact n-gram Jaccard pairs ≥ threshold via inverted-index self-join:
-    * intersection counts from the shingle join, union from per-doc sizes.
-    * Emits (a, b, inter, uni) with a < b. */
+  /** Per-doc sorted distinct shingle set + its size (the verification-side
+    * projection: one row per document, set rides as an array). */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("_id"),
+        array_sort(array_distinct(TextOps.shingles(col(textCol), n))).as("_set"))
+      .withColumn("_n", size(col("_set")))
+
+  /** Exact verification of candidate pairs (a, b): join each side's shingle
+    * set and compute the true intersection with ONE codegen'd
+    * array_intersect per pair — no inverted-index self-join, so cost is
+    * O(|candidates| · setSize), never O(hot-shingle²). */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sets.select(col("_id").as("a"), col("_set").as("_sa"), col("_n").as("na")), "a")
+      .join(sets.select(col("_id").as("b"), col("_set").as("_sb"), col("_n").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("uni", (col("na") + col("nb")).cast("long") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
+
+  /** Identical-set duplicate pairs (the Jaccard = 1.0 special case) WITHOUT
+    * any join: identical sets have identical fingerprints, so one groupBy
+    * on a 128-bit fingerprint of the sorted distinct-element array finds
+    * every duplicate cluster; pairs are enumerated inside each (tiny)
+    * cluster. Output (a, b, inter) with a < b, inter = set size. */
+  def identicalSetPairs(docs: DataFrame, idCol: String, sortedSet: Column): DataFrame = {
+    val toks = sortedSet
+    val groups = docs
+      .select(col(idCol).as("_id"),
+        xxhash64(lit(1), toks).as("_fp1"), xxhash64(lit(2), toks).as("_fp2"),
+        size(toks).as("_n"))
+      .groupBy(col("_fp1"), col("_fp2"), col("_n"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+    groups
+      .select(col("_n"), col("_ids"), posexplode(col("_ids")).as(Seq("_i", "a")))
+      .select(col("a"),
+        explode(slice(col("_ids"), col("_i") + lit(2), size(col("_ids")))).as("b"),
+        col("_n").cast("long").as("inter"))
+  }
+
+  /** Identical-token-set duplicate pairs (whitespace tokens, n = 1). */
+  def tokenSetDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    identicalSetPairs(docs, idCol, array_sort(TextOps.distinctTokens(col(textCol))))
+
+  /** Exact n-gram Jaccard pairs ≥ threshold, prefix-filtered:
+    *
+    *   1. global shingle document frequencies (one aggregate);
+    *   2. each doc's shingles ranked rarest-first; only the first
+    *      `n - ceil(t*n) + 1` are indexed (prefix-filter theorem: a pair
+    *      with Jaccard ≥ t must overlap within both prefixes under any
+    *      global shingle order);
+    *   3. candidate pairs from the prefix index self-join, pruned by the
+    *      size filter `min(na, nb) ≥ t · max(na, nb)`;
+    *   4. exact verification per candidate via array_intersect.
+    *
+    * Emits (a, b, inter, uni) with a < b — byte-identical to the naive
+    * inverted-index plan, without its hot-shingle m² candidate blowup. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    if (threshold >= 1.0)
+      // Jaccard = 1 ⇔ identical shingle sets: fingerprint groupBy, no join
+      return identicalSetPairs(docs, idCol,
+          array_sort(array_distinct(TextOps.shingles(col(textCol), n))))
+        .withColumn("uni", col("inter"))
+        .select(col("a"), col("b"), col("inter"), col("uni"))
     val dt = shingleIndex(docs, idCol, textCol, n)
-    val sz = dt.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val inter = dt.as("x").join(dt.as("y"),
-        col("x._s") === col("y._s") && col("x._id") < col("y._id"))
-      .groupBy(col("x._id").as("a"), col("y._id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.withColumnRenamed("_id", "a").withColumnRenamed("_n", "na"), "a")
-      .join(sz.withColumnRenamed("_id", "b").withColumnRenamed("_n", "nb"), "b")
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .filter(col("inter").cast("double") / col("uni") >= threshold)
+    val dfreq = dt.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    val sizes = dt.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val ranked = dt.join(dfreq, "_s")
+      .withColumn("_rank",
+        row_number().over(Window.partitionBy(col("_id")).orderBy(col("_df"), col("_s"))))
+      .join(sizes, "_id")
+    val prefix = ranked
+      .filter(col("_rank") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      .select(col("_id"), col("_s"), col("_n"))
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x._s") === col("y._s") && col("x._id") < col("y._id") &&
+          col("x._n").cast("double") >= lit(threshold) * col("y._n") &&
+          col("y._n").cast("double") >= lit(threshold) * col("x._n"))
+      .select(col("x._id").as("a"), col("y._id").as("b"))
+      .distinct()
+    verifyJaccard(cands, shingleSets(docs, idCol, textCol, n), threshold)
       .select(col("a"), col("b"), col("inter"), col("uni"))
   }
 
@@ -85,28 +159,14 @@ object DedupOps {
   }
 
   /** MinHash+LSH near-dup pairs, exactly verified: candidates from the
-    * banded buckets, then true Jaccard computed ONLY for candidates via a
-    * candidate-filtered inverted-index join. */
+    * banded buckets, true Jaccard computed ONLY for candidates with one
+    * array_intersect per pair. */
   def minHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.2): DataFrame = {
     val sigs = minHashSignatures(docs, idCol, textCol, n, k)
     val cands = lshCandidatePairs(sigs, k, bands)
-    val dt = shingleIndex(docs, idCol, textCol, n)
-    val candIds = cands.select(col("a").as("_id"))
-      .union(cands.select(col("b").as("_id"))).distinct()
-    val dtc = dt.join(candIds, Seq("_id"), "left_semi")
-    val sz = dtc.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val inter = dtc.as("x").join(dtc.as("y"),
-        col("x._s") === col("y._s") && col("x._id") < col("y._id"))
-      .groupBy(col("x._id").as("a"), col("y._id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cands, Seq("a", "b"), "left_semi") // only LSH candidates
-    inter
-      .join(sz.withColumnRenamed("_id", "a").withColumnRenamed("_n", "na"), "a")
-      .join(sz.withColumnRenamed("_id", "b").withColumnRenamed("_n", "nb"), "b")
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
+    verifyJaccard(cands, shingleSets(docs, idCol, textCol, n), threshold)
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
-      .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
   }
 

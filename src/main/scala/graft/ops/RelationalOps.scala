@@ -16,16 +16,20 @@ object RelationalOps {
     * null-safely different ⇒ changed; else unchanged. */
   def diffClassify(incoming: DataFrame, baseline: DataFrame,
       keyCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    // presence = join-existence marker, NOT payload nullness: a baseline row
+    // whose payload columns are all NULL must still classify as present
+    // (reference semantics: absent row vs attribute equality are distinct,
+    // SourceSystemDataCheckerService.java:132 vs :141-146)
     val base = baseline.select(
-      (keyCols.map(col) ++ payloadCols.map(c => col(c).as(s"_base_$c"))): _*)
+      (keyCols.map(col) ++ payloadCols.map(c => col(c).as(s"_base_$c"))) :+
+        lit(true).as("_present"): _*)
     val changed = payloadCols.map(c => !(col(c) <=> col(s"_base_$c"))).reduce(_ || _)
-    val present = payloadCols.map(c => col(s"_base_$c").isNotNull).reduce(_ || _)
     incoming.join(base, keyCols, "left_outer")
       .withColumn("outcome",
-        when(!present, Outcome.New)
+        when(col("_present").isNull, Outcome.New)
           .when(changed, Outcome.Changed)
           .otherwise(Outcome.Unchanged))
-      .drop(payloadCols.map(c => s"_base_$c"): _*)
+      .drop(payloadCols.map(c => s"_base_$c") :+ "_present": _*)
   }
 
   /** Set-equality check per group (J4, SourceSystemDataCheckerService.java:
