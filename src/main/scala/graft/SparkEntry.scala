@@ -2,8 +2,9 @@ package graft
 
 import graft.engine.{EngineConfig, ValidationEngine}
 import graft.multimodal.Multimodal
-import graft.ops.{AnnOps, DedupOps, RelationalOps, TextOps}
+import graft.ops.{AnnOps, DedupOps, MasOps, RelationalOps, TextOps}
 import graft.rules.Rule
+import graft.sources.JsonIngest
 import graft.streaming.StreamOps
 import graft.synth.ClipSynth
 import org.apache.spark.sql.graft.TextExpressions.fingerprint64
@@ -289,7 +290,8 @@ object SparkEntry {
 
     // ------------------------------------------------ structured streaming
     "q26_stream_window" -> ((s, dir) => {
-      StreamOps.hourlyEventCounts(s, s"$dir/events.parquet")
+      // state keys = hours × event types (tiny): 8 state partitions
+      StreamOps.hourlyEventCounts(s, s"$dir/events.parquet", statePartitions = Some(8))
         .orderBy("hour_start", "event_type")
     }),
 
@@ -308,7 +310,108 @@ object SparkEntry {
     "q29_clips_violations" -> ((s, dir) =>
       clipsReport(s, dir).violations
         .groupBy(col("rule_id")).agg(count(lit(1)).as("n"))
-        .orderBy("rule_id"))
+        .orderBy("rule_id")),
+
+    // ------------------------------------ JSON schema-on-read ingest (S3)
+    "q30_json_ingest" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.types._
+      // build a JSON event feed from the events table; every 97th payload
+      // is planted malformed (the PERMISSIVE corrupt-record path)
+      val payload = when(col("event_id") % 97 === 0,
+          concat(lit("not json {"), col("user_id").cast("string")))
+        .otherwise(to_json(struct(col("user_id"), col("event_type"))))
+      val feed = t(dir, "events").select(col("event_id"), payload.as("payload"))
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      JsonIngest.parseWithPolicy(feed, "payload", schema)
+        .select(col("event_id"),
+          col("user_id").as("parsed_user_id"),
+          col("event_type").as("parsed_event_type"),
+          JsonIngest.isMalformed.as("malformed"))
+        .orderBy("event_id")
+    }),
+
+    // ----------------- composed change predicate: payload OR rel-set (J3+J4)
+    "q31_diff_relset" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val orders = t(dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val baseOrders = t(dir, "orders")
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + when(col("o_orderkey") % 11 === 0, 1.0).otherwise(0.0))
+            .as("o_totalprice"))
+      val incRel = t(dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
+      // baseline misses some links ⇒ relationship-set inequality ⇒ changed
+      val baseRel = incRel.filter(!(col("o_orderkey") % 13 === 0 && col("l_suppkey") % 2 === 0))
+      RelationalOps.diffClassifyWithRelSet(orders, baseOrders,
+          Seq("o_orderkey"), Seq("o_totalprice"), incRel, baseRel, "l_suppkey")
+        .groupBy(col("outcome")).agg(count(lit(1)).as("n"))
+        .orderBy("outcome")
+    }),
+
+    // ------------------------------- nested two-level diff routing (J5/A1)
+    "q32_nested_route" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val orders = t(dir, "orders")
+      val baseOrders = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + when(col("o_orderkey") % 11 === 0, 1.0).otherwise(0.0))
+            .as("o_totalprice"))
+      val parentOut = RelationalOps.diffClassify(
+        orders.select(col("o_orderkey"), col("o_totalprice")), baseOrders,
+        Seq("o_orderkey"), Seq("o_totalprice"))
+      val li = t(dir, "lineitem")
+      val children = li.select(col("l_orderkey").as("o_orderkey"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      // baseline children: one planted quantity change + one planted absence
+      val baseChildren = li
+        .filter(!(col("l_orderkey") % 19 === 0 && col("l_linenumber") === 2))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") + when(col("l_orderkey") % 17 === 0 && col("l_linenumber") === 1, 1.0)
+            .otherwise(0.0)).as("l_quantity"))
+      RelationalOps.nestedDiffClassify(parentOut, children, baseChildren,
+          Seq("o_orderkey"), Seq("l_orderkey", "l_linenumber"), Seq("l_quantity"))
+        .groupBy(col("outcome"), col("route")).agg(count(lit(1)).as("n"))
+        .orderBy("outcome", "route")
+    }),
+
+    // ---------------------------- MAS-analog side-channel jobs (M1/M2/M3)
+    "q33_mas_jobs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val orders = t(dir, "orders")
+      val baseline = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + when(col("o_orderkey") % 11 === 0, 1.0).otherwise(0.0))
+            .as("o_totalprice"))
+      val unchanged = RelationalOps.diffClassify(
+          orders.select(col("o_orderkey"), col("o_totalprice")), baseline,
+          Seq("o_orderkey"), Seq("o_totalprice"))
+        .filter(col("outcome") === "unchanged")
+      // event-side MAS metadata, derived deterministically from the key
+      val events = orders.select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, array(lit("mas_a"), lit("mas_b")))
+          .otherwise(array(lit("mas_a"))).as("mas_list"),
+        (col("o_orderkey") % 5 === 0).as("force_mas"))
+      MasOps.masJobRequestsForUnchanged(events, unchanged, "o_orderkey",
+          "mas_list", col("force_mas"), "ORDER", "app-agent", "proxy:")
+        .orderBy("target_id", "mas_id")
+    }),
+
+    // --------------------- compound-key scoped state lookup (L1/L2 scoping)
+    "q34_scoped_lookup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      val batch = ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val state = ev.filter(col("event_id") % 100 === 1)
+        .select(col("user_id"), col("event_type")).distinct()
+      RelationalOps.scopedKeyLookup(batch, state,
+          keyCols = Seq("user_id", "event_type"), scopeCols = Seq("event_type"),
+          joinType = "left_anti")
+        .orderBy("event_id")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (same column names + ordering). */
@@ -435,6 +538,80 @@ object SparkEntry {
     "q27_multimodal_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
         |  CAST(floor((length(text) + 255) / 256.0) AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_json_ingest" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS parsed_user_id,
+        |  CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END AS parsed_event_type,
+        |  (event_id % 97 = 0) AS malformed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q31_diff_relset" ->
+      """WITH inc_set AS (
+        |  SELECT l_orderkey AS k, list_sort(list(DISTINCT CAST(l_suppkey AS VARCHAR))) AS s
+        |  FROM lineitem GROUP BY 1),
+        |base_set AS (
+        |  SELECT l_orderkey AS k, list_sort(list(DISTINCT CAST(l_suppkey AS VARCHAR))) AS s
+        |  FROM lineitem WHERE NOT (l_orderkey % 13 = 0 AND l_suppkey % 2 = 0) GROUP BY 1),
+        |base AS (
+        |  SELECT o_orderkey, o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 1.0 ELSE 0.0 END AS p
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT CASE WHEN b.o_orderkey IS NULL THEN 'new'
+        |            WHEN a.o_totalprice IS DISTINCT FROM b.p
+        |              OR coalesce(i.s, []) <> coalesce(bs.s, []) THEN 'changed'
+        |            ELSE 'unchanged' END AS outcome, count(*) AS n
+        |FROM orders a
+        |LEFT JOIN base b ON a.o_orderkey = b.o_orderkey
+        |LEFT JOIN inc_set i ON i.k = a.o_orderkey
+        |LEFT JOIN base_set bs ON bs.k = b.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_nested_route" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 1.0 ELSE 0.0 END AS p
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |parent AS (
+        |  SELECT a.o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'new'
+        |         WHEN a.o_totalprice IS DISTINCT FROM b.p THEN 'changed'
+        |         ELSE 'unchanged' END AS parent_outcome
+        |  FROM orders a LEFT JOIN base b ON a.o_orderkey = b.o_orderkey),
+        |base_child AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_quantity + CASE WHEN l_orderkey % 17 = 0 AND l_linenumber = 1 THEN 1.0 ELSE 0.0 END AS q
+        |  FROM lineitem WHERE NOT (l_orderkey % 19 = 0 AND l_linenumber = 2)),
+        |child AS (
+        |  SELECT c.l_orderkey,
+        |    CASE WHEN b.l_orderkey IS NULL THEN 'new'
+        |         WHEN c.l_quantity IS DISTINCT FROM b.q THEN 'changed'
+        |         ELSE 'unchanged' END AS outcome
+        |  FROM lineitem c LEFT JOIN base_child b
+        |    ON c.l_orderkey = b.l_orderkey AND c.l_linenumber = b.l_linenumber)
+        |SELECT child.outcome,
+        |  CASE WHEN p.parent_outcome <> 'unchanged' THEN 'parent'
+        |       WHEN child.outcome <> 'unchanged' THEN 'child'
+        |       ELSE 'none' END AS route, count(*) AS n
+        |FROM child JOIN parent p ON child.l_orderkey = p.o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q33_mas_jobs" ->
+      """WITH unchanged AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0),
+        |ev AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN ['mas_a', 'mas_b'] ELSE ['mas_a'] END AS mas_list,
+        |    (o_orderkey % 5 = 0) AS force_mas
+        |  FROM orders)
+        |SELECT unnest(mas_list) AS mas_id,
+        |  'proxy:' || CAST(o_orderkey AS VARCHAR) AS target_id,
+        |  false AS batching, 'app-agent' AS agent_id, 'ORDER' AS target_type
+        |FROM ev
+        |WHERE force_mas AND len(mas_list) > 0
+        |  AND o_orderkey IN (SELECT o_orderkey FROM unchanged)
+        |ORDER BY target_id, mas_id""".stripMargin,
+    "q34_scoped_lookup" ->
+      """SELECT event_id, user_id, event_type FROM events a
+        |WHERE event_id % 10 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM events b
+        |  WHERE b.event_id % 100 = 1 AND b.user_id = a.user_id
+        |    AND b.event_type = a.event_type)
+        |ORDER BY event_id""".stripMargin
   )
 }

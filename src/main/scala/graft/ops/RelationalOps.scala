@@ -32,6 +32,58 @@ object RelationalOps {
       .drop(payloadCols.map(c => s"_base_$c") :+ "_present": _*)
   }
 
+  /** Composed change predicate (J3 OR J4, the reference's full
+    * `specimenIsChanged`: payload deep-inequality OR relationship-set
+    * inequality, SourceSystemDataCheckerService.java:141-154): classify
+    * incoming vs baseline where "changed" additionally fires when the SET
+    * of related child keys differs (additions AND removals). Null/missing
+    * child sets normalize to empty (the reference's null-container→empty
+    * Jackson config, ApplicationConfiguration.java:26-31). `incomingRel` /
+    * `baselineRel` are (parent key cols…, relCol) link tables. */
+  def diffClassifyWithRelSet(incoming: DataFrame, baseline: DataFrame,
+      keyCols: Seq[String], payloadCols: Seq[String],
+      incomingRel: DataFrame, baselineRel: DataFrame, relCol: String): DataFrame = {
+    def withSet(df: DataFrame, rel: DataFrame): DataFrame = {
+      val sets = rel.groupBy(keyCols.map(col): _*)
+        .agg(array_sort(collect_set(col(relCol).cast("string"))).as("_rel_set"))
+      df.join(sets, keyCols, "left_outer")
+        .withColumn("_rel_set", coalesce(col("_rel_set"), array().cast("array<string>")))
+    }
+    diffClassify(withSet(incoming, incomingRel), withSet(baseline, baselineRel),
+        keyCols, payloadCols :+ "_rel_set")
+      .drop("_rel_set")
+  }
+
+  /** Nested two-level diff routing (J5, the reference's
+    * `filterChangedAndNewMedia` over unchanged specimens,
+    * SourceSystemDataCheckerService.java:156-191): children classify
+    * 3-way against their own baseline, then route on the PARENT's outcome:
+    *
+    *   - parent new/changed        → route "parent" (the child rides the
+    *     parent's event — reference: whole event to name-usage, :87-92);
+    *   - parent unchanged, child new/changed → route "child" (the
+    *     media-only channel, :94-98);
+    *   - both unchanged            → route "none" (state touch only).
+    *
+    * `parentOutcomes` must carry `parentKeyCols` + "outcome"; `children` /
+    * `baselineChildren` carry `parentKeyCols` + `childKeyCols` + payload. */
+  def nestedDiffClassify(parentOutcomes: DataFrame, children: DataFrame,
+      baselineChildren: DataFrame, parentKeyCols: Seq[String],
+      childKeyCols: Seq[String], childPayloadCols: Seq[String]): DataFrame = {
+    val parents = parentOutcomes.select(
+      (parentKeyCols.map(col) :+ col("outcome").as("_parent_outcome")): _*)
+    val childClass = diffClassify(
+      children, baselineChildren.drop(parentKeyCols.filterNot(childKeyCols.contains): _*),
+      childKeyCols, childPayloadCols)
+    childClass.join(parents, parentKeyCols, "left_outer")
+      .withColumn("route",
+        when(col("_parent_outcome").isNotNull && col("_parent_outcome") =!= Outcome.Unchanged,
+          "parent")
+          .when(col("outcome") =!= Outcome.Unchanged, "child")
+          .otherwise("none"))
+      .drop("_parent_outcome")
+  }
+
   /** Set-equality check per group (J4, SourceSystemDataCheckerService.java:
     * 148-154): for each key, is the set of `valueCol` under condition A the
     * same as under condition B? Detects additions AND removals. */
@@ -44,6 +96,22 @@ object RelationalOps {
       .select(col(keyCol),
         size(col("_a")).as("n_a"), size(col("_b")).as("n_b"),
         (col("_a") === col("_b")).as("sets_equal"))
+  }
+
+  /** Compound-key state lookup with semi-join scope reduction (L1/L2): the
+    * state side is first pruned to the batch's distinct scope values — the
+    * Spark analog of the reference pushing `source_system_id IN (…)` into
+    * its state query alongside the natural-key `IN` list
+    * (SpecimenRepository.java:28-32) — then joined on the full compound
+    * key. The scope set is tiny by construction (it came from one batch),
+    * so it broadcasts; at 10^12-row state this turns the state scan into a
+    * partition-prunable semi-join instead of a full-table read.
+    * joinType "left_anti" = presence check, "left_outer" = enrichment. */
+  def scopedKeyLookup(batch: DataFrame, state: DataFrame, keyCols: Seq[String],
+      scopeCols: Seq[String], joinType: String): DataFrame = {
+    val scopes = batch.select(scopeCols.map(col): _*).distinct()
+    val pruned = state.join(broadcast(scopes), scopeCols, "left_semi")
+    batch.join(pruned, keyCols, joinType)
   }
 
   /** Deterministic top-k (total order via tiebreak columns). */

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -17,33 +18,66 @@ object StreamOps {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Tumbling-window aggregation over the events table driven through a
-    * real streaming query (AvailableNow trigger, memory sink): hourly
-    * count + exact-decimal sum per event type. Returns the completed
-    * result table. */
-  def hourlyEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
-    val name = "graft_stream_" + math.abs(eventsPath.hashCode)
+    * real streaming query: hourly count + exact-decimal sum per event type.
+    *
+    * Sink design (scale path): watermark + `update` output mode, each
+    * micro-batch's changed aggregates appended DISTRIBUTED (executor-side
+    * parquet writes via foreachBatch, batch-id-stamped) — the driver never
+    * holds the result table, unlike a memory/complete sink which re-emits
+    * and accumulates the whole table on the driver every batch. The final
+    * state of each window is the row from the highest batch that updated
+    * it (last-writer-wins upsert, resolved by one latest-per-key pass on
+    * read — the same merge an Iceberg MERGE INTO sink would do). */
+  def hourlyEventCounts(spark: SparkSession, eventsPath: String,
+      statePartitions: Option[Int] = None): DataFrame = {
     // readStream needs a directory: point at the parent with a glob filter
     // when given a single file path
     val (dir, filter) = {
       val f = new java.io.File(eventsPath)
       if (f.isFile) (f.getParent, f.getName) else (eventsPath, "*")
     }
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", filter).parquet(dir)
-    val agg = stream
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(27,10)")).as("_sv"))
-      .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
-        col("_sv").cast("double").as("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // streaming has no AQE: the state-store partition count is pinned at
+    // query start, and EVERY micro-batch pays a fixed open/commit cost per
+    // state partition — size it to the state key cardinality, not to the
+    // session's scan parallelism
+    statePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    // update-mode emission is complete after the last data batch; the
+    // trailing no-data micro-batch only advances the watermark to evict
+    // state, so skip it for a run-to-completion (AvailableNow) pass
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val stream = spark.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", filter).parquet(dir)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(27,10)")).as("_sv"))
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
+          col("_sv").cast("double").as("sum_value"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("_batch", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    // upsert resolution: latest batch wins per (window, event_type)
+    val w = Window.partitionBy(col("hour_start"), col("event_type"))
+      .orderBy(col("_batch").desc)
+    spark.read.parquet(outDir)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_batch")
   }
 }

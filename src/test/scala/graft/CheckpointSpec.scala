@@ -49,6 +49,52 @@ class CheckpointSpec extends AnyFunSuite {
     assert(out.snapshots(runner.ViolationsTable).size == 1) // no second append
   }
 
+  test("resume on orphan-free data is a no-op (no fabricated orphan violations)") {
+    // regression: with NO orphan transcripts in the data, the orphan
+    // pseudo-partition used to get no lineage row, so a resume re-ran the
+    // orphan anti-join over an empty pending set and flagged EVERY
+    // transcript as an orphan
+    val root = Files.createTempDirectory("graft-ckpt-noorph").toString
+    val store = new SnapshotStore(s"$root/state")
+    val out = new SnapshotStore(s"$root/out")
+    val n = 2000L
+    store.append("baseline_clips", ClipSynth.baseline(spark, n).toDF())
+    store.append("transcripts",
+      ClipSynth.transcripts(spark, n).toDF().filter(!col("clip_id").startsWith("orphan-")))
+    val snap = store.append("clips", ClipSynth.clips(spark, n).toDF())
+
+    val runner = new CheckpointedRunner(store, out)
+    val lineage1 = runner.runResumable(spark, snap, Rule.standardPack, EngineConfig(saltBuckets = 4))
+    // the orphan pseudo-partition is checkpointed even with ZERO violations
+    assert(lineage1.filter(col("partition_values") === "table=transcripts").count() == 1)
+    val vio1 = out.read(spark, runner.ViolationsTable).count()
+    runner.runResumable(spark, snap, Rule.standardPack, EngineConfig(saltBuckets = 4))
+    assert(out.read(spark, runner.ViolationsTable).count() == vio1)
+    assert(out.snapshots(runner.ViolationsTable).size == 1) // no second append
+  }
+
+  test("crash recovery: outputs without a lineage row are invisible to committed readers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckpt-crash").toString
+    val store = new SnapshotStore(s"$root/state")
+    val out = new SnapshotStore(s"$root/out")
+    val n = 2000L
+    store.append("baseline_clips", ClipSynth.baseline(spark, n).toDF())
+    store.append("transcripts", ClipSynth.transcripts(spark, n).toDF())
+    val snap = store.append("clips", ClipSynth.clips(spark, n).toDF())
+    val runner = new CheckpointedRunner(store, out)
+    runner.runResumable(spark, snap, Rule.standardPack, EngineConfig(saltBuckets = 4))
+    val committed = runner.committedOutput(spark, runner.ViolationsTable).count()
+    assert(committed > 0)
+    // simulate a crash AFTER the violations append but BEFORE lineage:
+    // stray rows under a run_id that never reaches the lineage table
+    out.append(runner.ViolationsTable,
+      Seq(("ghost", "rule", "x", "y", "pv", snap, "crashed-run"))
+        .toDF("clip_id", "rule_id", "observed", "expected", "_pv", "snapshot_id", "run_id"))
+    assert(out.read(spark, runner.ViolationsTable).count() == committed + 1)
+    assert(runner.committedOutput(spark, runner.ViolationsTable).count() == committed)
+  }
+
   test("streaming windowed aggregation equals the batch plan on the same input") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamOps.hourlyEventCounts(spark, s"$dir/events.parquet")
