@@ -12,18 +12,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: graft.ScalingBench prep [nRows] [workDir]
   *        graft.ScalingBench <cpus> [nRows] [workDir] [fast|full]
-  * Emits one JSON line per measurement.
+  * Emits one JSON line per measurement with BOTH a cold (first run in the
+  * JVM: JIT + page-cache warmup included) and a steady-state wall time
+  * (second run, fresh output store — the engine re-executes fully, only
+  * JVM/JIT/page-cache state carries over). The steady state is what
+  * extrapolates to a long-running cluster job.
   *
   * Methodology notes (measured on this sandbox, see BENCH/BASELINE.md):
-  *  - the default hash-first diff path is memory-bandwidth-bound; on a
-  *    single box extra threads saturate DRAM, so thread-scaling is
-  *    evidenced on the CPU-weighted full-decode profile (every matched row
-  *    decodes + SNR-compares), which is also the north rule's per-row
-  *    invariant evaluated literally;
+  *  - the corpus must live on /dev/shm: this VM's virtio disk serves cold
+  *    reads so slowly (~5× wall-time inflation) that a disk-resident
+  *    corpus measures the disk, not the engine — and biases whichever
+  *    cell runs first (cold cache) against the rest;
   *  - measurements must run detached from the interactive sandbox shell
   *    (foreground supervision skewed wall times up to 3×);
-  *  - report the MIN of repeated runs (the VM host shows sporadic
-  *    co-tenancy stalls).
+  *  - report the MIN of repeated, interleaved runs (the VM host shows
+  *    sporadic co-tenancy stalls).
   */
 object ScalingBench {
 
@@ -63,13 +66,19 @@ object ScalingBench {
     val cpus = mode.toInt
     val spark = session(cpus)
     val snapshotId = store.currentSnapshotId("clips").get
-    val out = new SnapshotStore(s"$workDir/out-$cpus-${System.nanoTime()}")
-    val runner = new CheckpointedRunner(store, out)
     val cfg = EngineConfig(fullDecodeVerify = profile == "full")
-    val t0 = System.nanoTime()
-    runner.runResumable(spark, snapshotId, Rule.standardPack, cfg).count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"cpus":$cpus,"n":$n,"profile":"$profile","validate_s":$secs%.1f,"clips_per_sec":${n / secs}%.0f}""")
+    def onePass(): Double = {
+      // fresh output store per pass: the engine re-runs in full (a reused
+      // store would checkpoint-resume into a no-op)
+      val out = new SnapshotStore(s"$workDir/out-$cpus-${System.nanoTime()}")
+      val runner = new CheckpointedRunner(store, out)
+      val t0 = System.nanoTime()
+      runner.runResumable(spark, snapshotId, Rule.standardPack, cfg).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cold = onePass()   // includes one-time JIT/classloading warmup
+    val steady = onePass() // the regime a long-running cluster job sits in
+    println(f"""{"cpus":$cpus,"n":$n,"profile":"$profile","cold_s":$cold%.1f,"validate_s":$steady%.1f,"clips_per_sec":${n / steady}%.0f}""")
     spark.stop()
   }
 }

@@ -22,7 +22,7 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** clips-corpus size scaled off the sf directory name (sf0.01 → 20k). */
-  private def clipsN(dir: String): Long = {
+  def clipsN(dir: String): Long = {
     val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
     math.max(2000L, (sf * 2e6).toLong)
   }
@@ -248,7 +248,7 @@ object SparkEntry {
     // --------------------------------------- embedding-cosine near-dup
     "q21_embedding_neardup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      AnnOps.embeddingNearDupPairs(t(dir, "embeddings"), threshold = 0.4, dim = 64, p = 6)
+      AnnOps.embeddingNearDupPairs(t(dir, "embeddings"), threshold = 0.4, dim = 64)
         .orderBy("a", "b")
     }),
 
@@ -399,6 +399,13 @@ object SparkEntry {
         .orderBy("target_id", "mas_id")
     }),
 
+    // --------------- SimHash at 2^32 buckets/band (extreme-scale variant)
+    "q35_simhash128" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      DedupOps.simHash128NearDupPairs(t(dir, "documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy("a", "b")
+    }),
+
     // --------------------- compound-key scoped state lookup (L1/L2 scoping)
     "q34_scoped_lookup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -414,8 +421,104 @@ object SparkEntry {
     })
   )
 
+  /** Root of the materialized synthetic corpus the q28/q29 oracles read
+    * (written by Verify via ClipSynth.writeAll; the driver's correctness
+    * pass runs at sf0.01 per TESTDATA.md). */
+  private val OracleCorpus = "/root/repo/target/oracle/sf0.01"
+
+  /** Shared CTE block reconstructing the engine's violation stream in pure
+    * SQL from the materialized clips/baseline/transcripts parquet:
+    * dedup-by-full-row (S4), per-codec null/range checks, min-PV-attributed
+    * uniqueness, both referential directions, exact two-sample KS drift
+    * (the engine's KLL-approximated KS agrees at these planted effect
+    * sizes), and the 3-way pcm classification — byte inequality stands in
+    * for the SNR gate because every planted payload corruption is
+    * byte-visible and byte-equality ⇒ SNR=∞ (the engine's own fast path). */
+  private def clipsVioCtes: String =
+    s"""dc AS (
+       |  SELECT DISTINCT clip_id, bytes, sr_hz, dur_ms, codec, transcript
+       |  FROM read_parquet('$OracleCorpus/clips/*/*.parquet', hive_partitioning=true)),
+       |bse AS (
+       |  SELECT clip_id, bytes, transcript, dur_ms, codec
+       |  FROM read_parquet('$OracleCorpus/baseline_clips/*/*.parquet', hive_partitioning=true)),
+       |tr AS (
+       |  SELECT DISTINCT clip_id FROM read_parquet('$OracleCorpus/transcripts/*.parquet')),
+       |pts AS (
+       |  SELECT codec, dur_ms AS v, 1 AS src FROM dc WHERE dur_ms IS NOT NULL
+       |  UNION ALL
+       |  SELECT codec, dur_ms, 2 FROM bse WHERE dur_ms IS NOT NULL),
+       |cnt AS (
+       |  SELECT codec, v,
+       |    count(*) FILTER (WHERE src = 1) AS c1,
+       |    count(*) FILTER (WHERE src = 2) AS c2
+       |  FROM pts GROUP BY 1, 2),
+       |cdf AS (
+       |  SELECT codec,
+       |    sum(c1) OVER (PARTITION BY codec ORDER BY v) * 1.0 /
+       |      sum(c1) OVER (PARTITION BY codec) AS f1,
+       |    sum(c2) OVER (PARTITION BY codec ORDER BY v) * 1.0 /
+       |      sum(c2) OVER (PARTITION BY codec) AS f2
+       |  FROM cnt),
+       |drifted AS (SELECT codec FROM cdf GROUP BY codec HAVING max(abs(f1 - f2)) > 0.05),
+       |vio AS (
+       |  SELECT 'codec=' || codec AS pv, 'null_rate:sr_hz' AS rule_id
+       |    FROM dc WHERE sr_hz IS NULL
+       |  UNION ALL
+       |  SELECT 'codec=' || codec, 'null_rate:transcript' FROM dc WHERE transcript IS NULL
+       |  UNION ALL
+       |  SELECT 'codec=' || codec, 'min_max:dur_ms' FROM dc WHERE dur_ms < 200 OR dur_ms > 30000
+       |  UNION ALL
+       |  SELECT min('codec=' || codec), 'uniqueness:clip_id'
+       |    FROM dc GROUP BY clip_id HAVING count(*) > 1
+       |  UNION ALL
+       |  SELECT 'codec=' || codec, 'referential:clip_id->transcripts.clip_id'
+       |    FROM dc WHERE NOT EXISTS (SELECT 1 FROM tr WHERE tr.clip_id = dc.clip_id)
+       |  UNION ALL
+       |  SELECT 'table=transcripts', 'referential:clip_id->transcripts.clip_id'
+       |    FROM tr WHERE NOT EXISTS (SELECT 1 FROM dc WHERE dc.clip_id = tr.clip_id)
+       |  UNION ALL
+       |  SELECT 'codec=' || codec, 'drift:dur_ms' FROM drifted
+       |  UNION ALL
+       |  SELECT 'codec=' || d.codec, 'pcm_equality'
+       |    FROM dc d LEFT JOIN bse b ON d.clip_id = b.clip_id
+       |    WHERE b.clip_id IS NULL OR d.bytes <> b.bytes
+       |      OR d.transcript IS DISTINCT FROM b.transcript)""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same column names + ordering). */
   def oracleSql: Map[String, String] = Map(
+    "q28_clips_verdicts" ->
+      s"""WITH $clipsVioCtes,
+         |parts AS (
+         |  SELECT DISTINCT 'codec=' || codec AS pv FROM dc
+         |  UNION SELECT DISTINCT pv FROM vio
+         |  UNION SELECT 'table=transcripts'),
+         |rules AS (SELECT * FROM (VALUES
+         |  ('null_rate:sr_hz'), ('null_rate:transcript'), ('min_max:dur_ms'),
+         |  ('approx_distinct:sr_hz'), ('uniqueness:clip_id'),
+         |  ('referential:clip_id->transcripts.clip_id'), ('drift:dur_ms'),
+         |  ('pcm_equality')) AS t(rule_id)),
+         |vc AS (SELECT pv, rule_id, count(*) AS violation_count FROM vio GROUP BY 1, 2),
+         |statp AS (
+         |  SELECT 'codec=' || codec AS pv, 'null_rate:sr_hz' AS rule_id,
+         |    (sum(CASE WHEN sr_hz IS NULL THEN 1 ELSE 0 END) = 0) AS stat_pass
+         |  FROM dc GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'codec=' || codec, 'null_rate:transcript',
+         |    (sum(CASE WHEN transcript IS NULL THEN 1 ELSE 0 END) = 0)
+         |  FROM dc GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'codec=' || codec, 'approx_distinct:sr_hz', (count(DISTINCT sr_hz) >= 2)
+         |  FROM dc GROUP BY 1)
+         |SELECT p.pv AS partition_values, r.rule_id,
+         |  coalesce(s.stat_pass, coalesce(v.violation_count, 0) = 0) AS pass,
+         |  coalesce(v.violation_count, 0) AS violation_count
+         |FROM parts p CROSS JOIN rules r
+         |LEFT JOIN vc v ON v.pv = p.pv AND v.rule_id = r.rule_id
+         |LEFT JOIN statp s ON s.pv = p.pv AND s.rule_id = r.rule_id
+         |ORDER BY 1, 2""".stripMargin,
+    "q29_clips_violations" ->
+      s"""WITH $clipsVioCtes
+         |SELECT rule_id, count(*) AS n FROM vio GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_agg_stats" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

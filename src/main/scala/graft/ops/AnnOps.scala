@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.audio.Audio
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,13 +8,17 @@ import org.apache.spark.sql.functions._
   *
   * Baseline: brute-force cosine top-k — exact, O(|Q|·|C|), fine when the
   * query side is small/broadcastable. Scale path: random-hyperplane LSH —
-  * deterministic seeded hyperplanes hash vectors into 2^p sign buckets; the
-  * join only compares within a bucket (multi-probe over Hamming-1 neighbor
-  * buckets recovers most of the recall the bucketing loses).
+  * deterministic hash-derived hyperplanes hash vectors into 2^p sign
+  * buckets; joins only compare within a bucket. Recall is recovered by
+  * multi-probe (Hamming-neighbor buckets) for top-k and by banding
+  * (several independent bucket functions) for near-dup pairs.
   *
-  * All vector math uses `zip_with`/`aggregate` higher-order functions over
-  * double-cast arrays — codegen'd, no UDFs, no driver-side loops.
-  */
+  * All vector math uses `zip_with`/`aggregate`/`transform` higher-order
+  * functions over double-cast arrays — codegen'd, no UDFs, no driver-side
+  * loops. Hyperplane weights are derived INSIDE the expression from
+  * xxhash64(seed, plane, dim-index), so the plan carries O(p) expression
+  * nodes instead of O(p·dim) literal doubles (a dim=4096, p=16 literal
+  * encoding would bloat the plan by megabytes). */
 object AnnOps {
 
   def dot(a: Column, b: Column): Column =
@@ -46,21 +49,31 @@ object AnnOps {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("_sim"), 3).as("sim"))
   }
 
-  /** Deterministic seeded random hyperplanes (SplitMix64 → uniform in
-    * [-1,1]); p planes ⇒ 2^p buckets. */
-  private def hyperplanes(dim: Int, p: Int, seed: Long): Seq[Array[Double]] =
-    (0 until p).map { pl =>
-      Array.tabulate(dim)(d => Audio.unit(seed ^ (pl * 0x9E3779B97F4A7C15L), d) * 2.0 - 1.0)
-    }
+  /** Deterministic hyperplane weight in [-1, 1] for (plane, dim index),
+    * computed in codegen from xxhash64 — no literal weight arrays. */
+  private def planeWeight(seed: Long, plane: Int, idx: Column): Column =
+    pmod(xxhash64(lit(seed), lit(plane), idx), lit(1000001L)).cast("double") / 500000.0 - 1.0
 
-  /** Sign-bucket id for each vector: bit i = sign(v · plane_i). */
+  /** Sign-bucket id for each vector: bit i = sign(v · plane_i). `dim` is
+    * not needed (the projection folds over the array itself); kept for API
+    * compatibility with callers that size probe tables from it. */
   def lshBucket(vec: Column, dim: Int, p: Int = 12, seed: Long = 42L): Column = {
-    val vd = transform(vec, _.cast("double"))
-    val bits = hyperplanes(dim, p, seed).zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(dot(vd, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    val bits = (0 until p).map { i =>
+      val proj = aggregate(
+        transform(vec, (x, d) => x.cast("double") * planeWeight(seed, i, d)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** All XOR masks with popcount ≤ radius over p bits, enumerated by direct
+    * combination recursion (C(p,0)+…+C(p,radius) masks — never a 2^p scan). */
+  private def probeMasks(p: Int, radius: Int): Seq[Long] = {
+    def combos(start: Int, r: Int): Seq[Long] =
+      if (r == 0) Seq(0L)
+      else (start until p).flatMap(b => combos(b + 1, r - 1).map(m => m | (1L << b)))
+    (0 to radius).flatMap(r => combos(0, r))
   }
 
   /** LSH-bucketed approximate top-k: queries and corpus hash to sign
@@ -75,8 +88,7 @@ object AnnOps {
     val bucket = lshBucket(col(vecCol), dim, p)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), bucket.as("_bkt"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"), bucket.as("_qb"))
-    val masks: Seq[Long] = (0L until (1L << p))
-      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val masks = probeMasks(p, probeRadius)
     val probes =
       qBase.withColumn("_bkt", explode(array(masks.map(m => col("_qb").bitwiseXOR(lit(m))): _*)))
     val w = Window.partitionBy(col("query_id"))
@@ -89,14 +101,41 @@ object AnnOps {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("_sim"), 3).as("sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) via
-    * LSH buckets — the scalable variant of a full O(n²) sweep. */
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold):
+    * `bands` independent sign-bucket functions of `p` planes each (the
+    * random-hyperplane analog of MinHash banding) generate candidates —
+    * a pair colliding in ANY band qualifies — then one exact cosine per
+    * candidate verifies, so there are no false positives and recall is
+    * 1-(1-(1-θ/π)^p)^bands per pair. The bucket join ships only
+    * (id, band, bucket) — vectors rejoin for verification by id. */
   def embeddingNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
-      p: Int = 6, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = vectors.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-      lshBucket(col(vecCol), dim, p).as("_bkt"))
-    v.as("x").join(v.as("y"),
-        col("x._bkt") === col("y._bkt") && col("x._id") < col("y._id"))
+      p: Int = 4, bands: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), lshBucket(col(vecCol), dim, p, seed = 42L + b).as("h")))
+    val buckets = vectors
+      .select(col(idCol).as("_id"), explode(array(bandCols: _*)).as("_b"))
+      .select(col("_id"), col("_b.band").as("_band"), col("_b.h").as("_h"))
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x._band") === col("y._band") && col("x._h") === col("y._h") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("a"), col("y._id").as("b"))
+      .distinct()
+    val v = vectors.select(col(idCol), col(vecCol))
+    cands
+      .join(v.select(col(idCol).as("a"), col(vecCol).as("_va")), "a")
+      .join(v.select(col(idCol).as("b"), col(vecCol).as("_vb")), "b")
+      .withColumn("_sim", cosine(col("_va"), col("_vb")))
+      .filter(col("_sim") >= threshold)
+      .select(col("a"), col("b"), round(col("_sim"), 3).as("sim"))
+  }
+
+  /** Exact near-dup pairs (the O(n²) verifier/oracle for the banded path —
+    * test-scale only). */
+  def exactNearDupPairs(vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    v.as("x").join(v.as("y"), col("x._id") < col("y._id"))
       .withColumn("_sim", cosine(col("x._v"), col("y._v")))
       .filter(col("_sim") >= threshold)
       .select(col("x._id").as("a"), col("y._id").as("b"), round(col("_sim"), 3).as("sim"))

@@ -170,6 +170,39 @@ object DedupOps {
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
   }
 
+  /** SimHash near-duplicates at extreme scale: a 128-bit signature (two
+    * independent simhash64 lanes; the second lane salts every token, which
+    * decorrelates its per-token hashes) banded into four 32-bit chunks.
+    * Pigeonhole still guarantees any pair within Hamming ≤ 3 shares a
+    * chunk, but the bucket space per band is 2^32 instead of 2^16 — at
+    * 10^10 docs the expected bucket holds ~2 docs, so the within-bucket
+    * join never goes quadratic (the 64-bit variant's 65,536 buckets would
+    * hold ~10^5 docs each there). */
+  def simHash128NearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val toks = TextOps.distinctTokens(col(textCol))
+    val salted = transform(toks, t => concat(t, lit("#2")))
+    val sigs = docs.select(col(idCol).as("_id"),
+      simhash64(toks).as("_s1"), simhash64(salted).as("_s2"))
+    val chunks = (0 until 4).map { c =>
+      val lane = if (c < 2) col("_s1") else col("_s2")
+      struct(lit(c).as("band"),
+        shiftright(lane, (c % 2) * 32).bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
+    }
+    val buckets = sigs
+      .select(col("_id"), col("_s1"), col("_s2"), explode(array(chunks: _*)).as("_b"))
+      .select(col("_id"), col("_s1"), col("_s2"),
+        col("_b.band").as("_band"), col("_b.h").as("_h"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x._band") === col("y._band") && col("x._h") === col("y._h") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("a"), col("y._id").as("b"),
+        (bit_count(col("x._s1").bitwiseXOR(col("y._s1"))) +
+          bit_count(col("x._s2").bitwiseXOR(col("y._s2")))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-duplicates: 64-bit fingerprints, banded into four 16-bit
     * chunks (any pair within Hamming distance 3 shares ≥1 identical chunk —
     * pigeonhole), verified with bit_count(a XOR b) ≤ maxHamming. */

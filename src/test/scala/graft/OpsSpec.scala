@@ -53,6 +53,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("banded embedding near-dup pairs: no false positives, recall vs exact sweep") {
+    val exact = AnnOps.exactNearDupPairs(emb, 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = AnnOps.embeddingNearDupPairs(emb, 0.4, dim = 64)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact)) // cosine-verified candidates only
+    val recall = if (exact.isEmpty) 1.0 else (banded & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall (${banded.size}/${exact.size})")
+    assert(exact.nonEmpty)
+  }
+
+  test("simhash128: identical token sets collide; all pairs within hamming bound") {
+    val dups = DedupOps.tokenSetDupPairs(docs, "doc_id", "text")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.nonEmpty)
+    val found = DedupOps.simHash128NearDupPairs(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    dups.foreach { p => assert(found.get(p).contains(0L), s"identical pair $p must be hamming 0") }
+    found.values.foreach(h => assert(h <= 6))
+  }
+
   test("fingerprint64 is deterministic, order-sensitive, collision-free on corpus") {
     val fps = docs.select(col("doc_id"), fingerprint64(col("text")).as("fp")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
