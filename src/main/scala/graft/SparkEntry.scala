@@ -399,6 +399,26 @@ object SparkEntry {
         .orderBy("target_id", "mas_id")
     }),
 
+    // ------------------- gzip wire-decode round trip (S2, decompress path)
+    "q36_gzip_ingest" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.graft.CodecExpressions._
+      import org.apache.spark.sql.types._
+      // simulate the reference's consume path: gzip-compressed JSON payloads
+      // inflated on read, then schema-on-read parsed
+      val feed = t(dir, "events").select(col("event_id"),
+        gzip_compress(encode(to_json(struct(col("user_id"), col("event_type"))), "UTF-8"))
+          .as("gz"))
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      JsonIngest.parseWithPolicy(
+          feed.select(col("event_id"), decode(gzip_decompress(col("gz")), "UTF-8").as("payload")),
+          "payload", schema)
+        .select(col("event_id"), col("user_id").as("parsed_user_id"),
+          col("event_type").as("parsed_event_type"))
+        .orderBy("event_id")
+    }),
+
     // --------------- SimHash at 2^32 buckets/band (extreme-scale variant)
     "q35_simhash128" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -709,6 +729,9 @@ object SparkEntry {
         |WHERE force_mas AND len(mas_list) > 0
         |  AND o_orderkey IN (SELECT o_orderkey FROM unchanged)
         |ORDER BY target_id, mas_id""".stripMargin,
+    "q36_gzip_ingest" ->
+      """SELECT event_id, user_id AS parsed_user_id, event_type AS parsed_event_type
+        |FROM events ORDER BY event_id""".stripMargin,
     "q34_scoped_lookup" ->
       """SELECT event_id, user_id, event_type FROM events a
         |WHERE event_id % 10 = 0 AND NOT EXISTS (

@@ -179,6 +179,35 @@ class RoutingSpec extends AnyFunSuite {
       Seq("mas-b", "doi:m1", false, "app-pid", "DIGITAL_MEDIA")))
   }
 
+  // ------------------------------------------------ wire compression (S2)
+
+  test("gzip expressions round-trip arbitrary binary payloads") {
+    import org.apache.spark.sql.graft.CodecExpressions._
+    val df = Seq(("a", "hello world"), ("b", ""), ("c", "x" * 10000))
+      .toDF("id", "s")
+      .withColumn("raw", encode(col("s"), "UTF-8"))
+    val rt = df
+      .withColumn("gz", gzip_compress(col("raw")))
+      .withColumn("back", decode(gzip_decompress(col("gz")), "UTF-8"))
+      .select("id", "s", "back", "gz")
+    rt.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"round-trip mismatch for ${r.getString(0)}")
+    }
+    // compression actually happened on the repetitive payload
+    val gzLen = rt.filter(col("id") === "c")
+      .select(octet_length(col("gz"))).collect()(0).getInt(0)
+    assert(gzLen < 10000 / 10)
+  }
+
+  test("scoped compound-key lookup prunes state but preserves join semantics") {
+    val batch = Seq((1L, "u1", "click"), (2L, "u2", "view")).toDF("eid", "user", "etype")
+    val state = Seq(("u1", "click"), ("u3", "view"), ("u9", "scroll")).toDF("user", "etype")
+    val missing = RelationalOps.scopedKeyLookup(batch, state,
+        keyCols = Seq("user", "etype"), scopeCols = Seq("etype"), joinType = "left_anti")
+      .select("eid").collect().map(_.getLong(0)).toSet
+    assert(missing == Set(2L)) // (u2, view) absent; (u1, click) present
+  }
+
   // -------------------------------------------------- JSON ingestion (S3)
 
   test("JSON ingest: well-formed rows parse, malformed rows become violations") {

@@ -26,7 +26,12 @@ CP="$JAR:/opt/spark/jars/*"   # scala-library ships with the Spark jars
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 
 run() { # run <mode> <profile>
-  java $ADD_OPENS -Xmx$DRIVER_MEM \
+  # ActiveProcessorCount pins GC/JIT/runtime threads to the cell's core
+  # count — otherwise a local[2] cell borrows all 32 host cores for GC and
+  # compilation, which no 2-core cluster executor would have
+  local APC=""
+  [ "$1" != "prep" ] && APC="-XX:ActiveProcessorCount=$1"
+  java $ADD_OPENS $APC -Xmx$DRIVER_MEM \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.ScalingBench "$1" "$N" "$WORK" "$2" 2>/dev/null \
     | grep -oE '\{"(cpus|prep)".*\}' | tail -1
