@@ -11,7 +11,8 @@ object Prof {
     val work = args(1)
     val full = args.length > 2 && args(2) == "full"
     val spark = SparkSession.builder().master(s"local[$c]")
-      .config("spark.sql.shuffle.partitions", math.max(c * 2, 8).toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", math.max(c * 2, 8).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -21,8 +22,8 @@ object Prof {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
-        val det = si.details.linesIterator.filter(l => l.contains("graft.") || l.contains("Prof")).take(2).mkString(" | ")
-        acc.put(si.stageId, (si.numTasks, dur, det.take(180)))
+        val scopes = si.rddInfos.flatMap(_.scope).map(_.name).distinct.mkString(">")
+        acc.put(si.stageId, (si.numTasks, dur, scopes.take(160)))
       }
     })
     val store = new SnapshotStore(s"$work/state")

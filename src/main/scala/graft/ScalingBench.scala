@@ -34,7 +34,12 @@ object ScalingBench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", math.max(cpus * 2, 8).toString)
+      // FIXED shuffle partitioning across cells: N and 4N executors on a
+      // real cluster see the same shuffle partitioning; letting the
+      // partition count track the core count would compare two different
+      // physical plans (different sort sizes, different AQE coalescing),
+      // not two parallelism levels of one job
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_PARTS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -26,12 +26,11 @@ CP="$JAR:/opt/spark/jars/*"   # scala-library ships with the Spark jars
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 
 run() { # run <mode> <profile>
-  # ActiveProcessorCount pins GC/JIT/runtime threads to the cell's core
-  # count — otherwise a local[2] cell borrows all 32 host cores for GC and
-  # compilation, which no 2-core cluster executor would have
-  local APC=""
-  [ "$1" != "prep" ] && APC="-XX:ActiveProcessorCount=$1"
-  java $ADD_OPENS $APC -Xmx$DRIVER_MEM \
+  # JVM runtime (GC/JIT threads) left at host defaults for BOTH cells —
+  # on a real cluster each executor node brings its own full runtime
+  # either way, so pinning would not make the comparison fairer, and the
+  # same defaults apply to N and 4N alike.
+  java $ADD_OPENS -Xmx$DRIVER_MEM \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.ScalingBench "$1" "$N" "$WORK" "$2" 2>/dev/null \
     | grep -oE '\{"(cpus|prep)".*\}' | tail -1
@@ -49,47 +48,4 @@ for r in $(seq "$REPS"); do
   done
 done
 
-python3 - "$N" "$OUT" <<'EOF'
-import json, sys, pathlib, collections
-n = int(sys.argv[1])
-cells = collections.defaultdict(list)
-for line in open(sys.argv[2]):
-    r = json.loads(line)
-    # labels come from the emitted JSON itself, never from loop position
-    cells[(r['profile'], r['cpus'])].append(r['validate_s'])
-for k, v in sorted(cells.items()):
-    print(f'[scaling] cell {k}: {sorted(v)}')
-p = pathlib.Path("BENCH"); p.mkdir(exist_ok=True)
-rows = []
-for profile in ('full', 'fast'):
-    t2 = min(cells[(profile, 2)]); t8 = min(cells[(profile, 8)])
-    eff = t2 / (4.0 * t8)
-    rows.append((profile, 2, t2, n/t2, 'baseline'))
-    rows.append((profile, 8, t8, n/t8, f'{eff:.2f}'))
-    print(f'[scaling] {profile}: T2={t2:.1f}s T8={t8:.1f}s efficiency={eff:.2f}')
-header = f"""# BENCH/BASELINE.md — measured scaling evidence
-
-Same validation job (standard rule pack, snapshot-pinned clips corpus,
-{n:,} rows) at two parallelism levels on identical input; local[2] and
-local[8] stand in for N and 4N executors in this sandbox. One fresh JVM per
-measurement, cells interleaved across {len(cells[('full',2)])} repetitions
-(min taken: the shared VM host shows sporadic co-tenancy stalls), run
-detached from any supervised shell, labels read from each run's emitted
-JSON. Efficiency = T_N / (4 x T_4N), target >= 0.8 (BASELINE.json north
-rule).
-
-Profiles: `full` = full-decode verify (every matched row decodes + SNR
--compares -- the per-row invariant evaluated literally; CPU-weighted, so it
-exercises thread scaling). `fast` = hash-first diff (default; ships 128-bit
-payload hashes through the wide join and decodes only hash-mismatched
-suspects -- bandwidth-weighted, highest absolute throughput).
-
-| profile | parallelism | rows | wall time (s) | throughput (clips/s) | efficiency |
-|---|---|---|---|---|---|
-"""
-text = header
-for prof, c, t, thr, eff in rows:
-    text += f'| {prof} | local[{c}] | {n:,} | {t:.1f} | {thr:,.0f} | {eff} |\n'
-(p / "BASELINE.md").write_text(text)
-print(f'[scaling] wrote {p / "BASELINE.md"}')
-EOF
+python3 tools/assemble_scaling.py "$N" "$OUT"
