@@ -12,6 +12,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+      .config("spark.io.compression.lz4.blockSize", "512k")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))

@@ -1,0 +1,85 @@
+package graft
+
+import graft.engine.{CheckpointedRunner, EngineConfig, SnapshotStore}
+import graft.rules.Rule
+import org.apache.spark.sql.SparkSession
+
+/** Scaling measurement on a TRUE multi-executor cluster in one box:
+  * `local-cluster[W, 1, mem]` spawns W separate single-core executor JVMs
+  * (each with its own JIT, GC, and memory manager) — the faithful
+  * in-sandbox analog of W executors that single-JVM `local[W]` is not
+  * (measured there: shared-JIT recompile storms + futex contention made
+  * 4× threads run SLOWER; see BENCH/BASELINE.md).
+  *
+  * Usage: graft.ClusterBench prep [nRows] [workDir]
+  *        graft.ClusterBench <workers> [nRows] [workDir] [fast|full] [memMB]
+  * Requires SPARK_HOME=/opt/spark (worker JVMs are launched from the
+  * distribution) and the packaged jar (shipped to executors via
+  * spark.jars). Emits one JSON line per measurement: cold + steady-state.
+  */
+object ClusterBench {
+
+  private def session(workers: Int, memMb: Int): SparkSession = {
+    val jar = new java.io.File(
+      "target/scala-2.13/sourcesystemdatacheckerspark_2.13-0.1.0.jar").getAbsolutePath
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$workers,1,$memMb]")
+      .appName(s"graft-cluster-$workers")
+      // same fixed partitioning across cluster sizes: identical plan,
+      // different executor count — the thing the north rule varies
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_PARTS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+      .config("spark.io.compression.lz4.blockSize", "512k")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.jars", jar)
+      .config("spark.executor.memory", s"${memMb}m")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("prep")
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(800000L)
+    val workDir = args.drop(2).headOption.getOrElse("/dev/shm/graft-cluster")
+    val profile = args.drop(3).headOption.getOrElse("full")
+    val memMb = args.drop(4).headOption.map(_.toInt).getOrElse(4096)
+    val store = new SnapshotStore(s"$workDir/state")
+
+    if (mode == "prep") {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      if (!store.exists("clips")) {
+        store.append("baseline_clips", graft.synth.ClipSynth.baseline(spark, n).toDF())
+        store.append("transcripts", graft.synth.ClipSynth.transcripts(spark, n).toDF())
+        store.append("clips", graft.synth.ClipSynth.clips(spark, n).toDF())
+      }
+      println(s"""{"prep":"ok","n":$n}""")
+      spark.stop()
+      return
+    }
+
+    val workers = mode.toInt
+    val spark = session(workers, memMb)
+    val snapshotId = store.currentSnapshotId("clips").get
+    val cfg = EngineConfig(fullDecodeVerify = profile == "full")
+    def onePass(): Double = {
+      val out = new SnapshotStore(s"$workDir/out-$workers-${System.nanoTime()}")
+      val runner = new CheckpointedRunner(store, out)
+      val t0 = System.nanoTime()
+      runner.runResumable(spark, snapshotId, Rule.standardPack, cfg).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cold = onePass()
+    val steady = onePass()
+    println(f"""{"workers":$workers,"n":$n,"profile":"$profile","cold_s":$cold%.1f,"validate_s":$steady%.1f,"clips_per_sec":${n / steady}%.0f}""")
+    spark.stop()
+  }
+}

@@ -14,7 +14,10 @@ object Prof {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_PARTS", math.max(c * 2, 8).toString))
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+      .config("spark.io.compression.lz4.blockSize", "512k")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Double, String)]()

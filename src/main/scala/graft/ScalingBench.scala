@@ -41,6 +41,9 @@ object ScalingBench {
       // not two parallelism levels of one job
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_PARTS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+      .config("spark.io.compression.lz4.blockSize", "512k")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))

@@ -81,19 +81,35 @@ object ValidationEngine {
     xxhash64(lit(1), col("clip_id"), col("bytes"), col("sr_hz"), col("dur_ms"), col("codec"), col("transcript")).as("_fp1"),
     xxhash64(lit(2), col("clip_id"), col("bytes"), col("sr_hz"), col("dur_ms"), col("codec"), col("transcript")).as("_fp2"))
 
+  /** Hash-only dedup: `dropDuplicates` would aggregate `first(col)` over
+    * every carried column, and any STRING column forces Spark into
+    * SortBasedAggregation (hash aggregation requires fixed-width mutable
+    * buffers) — a full sort + per-row UnsafeRow copy of the whole input.
+    * Instead: (1) one HashAggregate over the two fingerprint longs picking
+    * min(surrogate row id) — all fixed-width; (2) a semi-join back on
+    * (fp, id) keeps exactly one arbitrary-but-deterministic row per
+    * duplicate group. Both sides shuffle on the same fp keys, so the join
+    * reuses the aggregation's partitioning — no extra exchange, no sort. */
+  private def dedupByFingerprint(df: DataFrame): DataFrame = {
+    val withId = df.withColumn("_rid",
+      monotonically_increasing_id()) // partition-stable surrogate, never crosses runs
+    val keep = withId.groupBy(col("_fp1"), col("_fp2")).agg(min(col("_rid")).as("_rid"))
+    withId.join(keep, Seq("_fp1", "_fp2", "_rid"), "left_semi")
+      .drop("_fp1", "_fp2", "_rid")
+  }
+
   /** Exact-duplicate event removal (S4). Dedup key = full payload
     * fingerprint; the fingerprint keeps the shuffle key narrow while the
     * row rides along. */
   def dedupEvents(clips: DataFrame): DataFrame =
-    clips.select(col("*") +: fpCols: _*).dropDuplicates("_fp1", "_fp2").drop("_fp1", "_fp2")
+    dedupByFingerprint(clips.select(col("*") +: fpCols: _*))
 
   /** Metadata-only deduplicated view: the payload participates in the
     * fingerprint but is DROPPED before the dedup shuffle, so the exchange
     * carries ~40 bytes/row instead of the multi-KB audio payload. All
     * metadata rules (stats, uniqueness, referential) run off this. */
   def dedupEventsMeta(clips: DataFrame): DataFrame =
-    clips.select(col("*") +: fpCols: _*).drop("bytes")
-      .dropDuplicates("_fp1", "_fp2").drop("_fp1", "_fp2")
+    dedupByFingerprint(clips.select(col("*") +: fpCols: _*).drop("bytes"))
 
   /** The fused per-partition stats pass: one salted two-phase aggregation
     * for ALL stats rules. Returns one row per partition value with a column
@@ -157,15 +173,26 @@ object ValidationEngine {
 
   /** Salted two-phase uniqueness: phase 1 counts per (key, salt) — the salt
     * here spreads a pathologically hot key over reducers — phase 2 merges
-    * per key and keeps multiplicity > 1. */
+    * per key and keeps multiplicity > 1.
+    *
+    * The partition attribution (min PV, deterministic) is computed in a
+    * THIRD, tiny aggregation over only the duplicated keys' rows: a string
+    * aggregate in the full-data phases would force SortBasedAggregation
+    * (string buffers are not hash-aggregable) — a full sort of every event.
+    * Phases 1-2 stay all-fixed-width (pure HashAggregate); the string
+    * min runs over the handful of violating rows after a semi-join. */
   def uniquenessViolations(events: DataFrame, rule: Uniqueness, cfg: EngineConfig): DataFrame = {
     val k = rule.column
-    events
+    val dupKeys = events
       .groupBy(col(k).as("_key"), pmod(xxhash64(col(k), col("transcript"), col("dur_ms"), col("sr_hz")), lit(cfg.saltBuckets)).as("_salt"))
-      .agg(count(lit(1)).as("_c"), min(pvCol(cfg)).as(PV))
+      .agg(count(lit(1)).as("_c"))
       .groupBy(col("_key"))
-      .agg(sum("_c").as("_n"), min(PV).as(PV))
+      .agg(sum("_c").as("_n"))
       .filter(col("_n") > 1)
+    events.select(col(k).as("_key"), pvCol(cfg).as(PV))
+      .join(dupKeys, Seq("_key"))
+      .groupBy(col("_key"), col("_n"))
+      .agg(min(PV).as(PV))
       .select(col("_key").as("clip_id"), lit(rule.ruleId).as("rule_id"),
         col("_n").cast("string").as("observed"), lit("1").as("expected"), col(PV))
   }
