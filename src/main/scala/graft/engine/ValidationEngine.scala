@@ -84,18 +84,32 @@ object ValidationEngine {
   /** Hash-only dedup: `dropDuplicates` would aggregate `first(col)` over
     * every carried column, and any STRING column forces Spark into
     * SortBasedAggregation (hash aggregation requires fixed-width mutable
-    * buffers) — a full sort + per-row UnsafeRow copy of the whole input.
-    * Instead: (1) one HashAggregate over the two fingerprint longs picking
-    * min(surrogate row id) — all fixed-width; (2) a semi-join back on
-    * (fp, id) keeps exactly one arbitrary-but-deterministic row per
-    * duplicate group. Both sides shuffle on the same fp keys, so the join
-    * reuses the aggregation's partitioning — no extra exchange, no sort. */
+    * buffers) — a full sort with per-column first() buffers. A
+    * min-surrogate-id + semi-join plan is no better: the nondeterministic
+    * surrogate is re-evaluated on both join sides, so a reordered upstream
+    * or task retry could keep zero or two rows of a group.
+    *
+    * Instead: ONE hash exchange on the fingerprint longs, a spillable
+    * fixed-key local sort, and a streaming first-of-run pass. Deterministic
+    * by construction: the fingerprint covers every column (including ones
+    * later dropped), so rows within a group are byte-identical and the
+    * emitted row's content does not depend on which physical row survives
+    * a retry or reorder. Constant memory, single shuffle, no join. */
   private def dedupByFingerprint(df: DataFrame): DataFrame = {
-    val withId = df.withColumn("_rid",
-      monotonically_increasing_id()) // partition-stable surrogate, never crosses runs
-    val keep = withId.groupBy(col("_fp1"), col("_fp2")).agg(min(col("_rid")).as("_rid"))
-    withId.join(keep, Seq("_fp1", "_fp2", "_rid"), "left_semi")
-      .drop("_fp1", "_fp2", "_rid")
+    val schema = df.schema
+    val i1 = schema.fieldIndex("_fp1")
+    val i2 = schema.fieldIndex("_fp2")
+    df.repartition(col("_fp1"), col("_fp2"))
+      .sortWithinPartitions(col("_fp1"), col("_fp2"))
+      .mapPartitions { it =>
+        var h1 = 0L; var h2 = 0L; var first = true
+        it.filter { r =>
+          val keep = first || r.getLong(i1) != h1 || r.getLong(i2) != h2
+          if (keep) { h1 = r.getLong(i1); h2 = r.getLong(i2); first = false }
+          keep
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+      .drop("_fp1", "_fp2")
   }
 
   /** Exact-duplicate event removal (S4). Dedup key = full payload
@@ -183,15 +197,23 @@ object ValidationEngine {
     * min runs over the handful of violating rows after a semi-join. */
   def uniquenessViolations(events: DataFrame, rule: Uniqueness, cfg: EngineConfig): DataFrame = {
     val k = rule.column
+    // phase-1 salt must be ROW-random, not content-derived: a content salt
+    // degenerates to one reducer when a hot key's duplicates are also
+    // metadata-identical. A per-row surrogate keeps the spread unconditional,
+    // and phase 1 only counts (mergeable), so salt nondeterminism is harmless.
     val dupKeys = events
-      .groupBy(col(k).as("_key"), pmod(xxhash64(col(k), col("transcript"), col("dur_ms"), col("sr_hz")), lit(cfg.saltBuckets)).as("_salt"))
+      .select(col(k).as("_key"),
+        pmod(xxhash64(monotonically_increasing_id()), lit(cfg.saltBuckets)).as("_salt"))
+      .groupBy(col("_key"), col("_salt"))
       .agg(count(lit(1)).as("_c"))
       .groupBy(col("_key"))
       .agg(sum("_c").as("_n"))
       .filter(col("_n") > 1)
-    events.select(col(k).as("_key"), pvCol(cfg).as(PV))
-      .join(dupKeys, Seq("_key"))
-      .groupBy(col("_key"), col("_n"))
+    // null-safe attribution join: a duplicated NULL key is still a
+    // violation group (equality join would silently drop it)
+    events.select(col(k).as("_key"), pvCol(cfg).as(PV)).as("e")
+      .join(dupKeys.as("d"), col("e._key") <=> col("d._key"))
+      .groupBy(col("e._key").as("_key"), col("d._n").as("_n"))
       .agg(min(PV).as(PV))
       .select(col("_key").as("clip_id"), lit(rule.ruleId).as("rule_id"),
         col("_n").cast("string").as("observed"), lit("1").as("expected"), col(PV))

@@ -99,6 +99,36 @@ class EngineSpec extends AnyFunSuite {
       outcomes(EngineConfig(fullDecodeVerify = false)))
   }
 
+  test("uniqueness: duplicated NULL keys still surface (null-safe attribution join)") {
+    import spark.implicits._
+    val df = Seq(
+      (Option.empty[String], "t1", 100, 8000, "pcm_s16le"),
+      (Option.empty[String], "t2", 200, 8000, "alaw"),
+      (Some("a"), "t3", 300, 8000, "ulaw"),
+      (Some("a"), "t4", 300, 8000, "ulaw"),
+      (Some("b"), "t5", 300, 8000, "alaw"))
+      .toDF("clip_id", "transcript", "dur_ms", "sr_hz", "codec")
+    val out = ValidationEngine
+      .uniquenessViolations(df, Uniqueness("clip_id"), EngineConfig(saltBuckets = 4))
+      .collect().map(r => (Option(r.getString(0)), r.getString(2), r.getString(4))).toSet
+    // the NULL-key group reports once (multiplicity 2, min-PV = alaw)
+    assert(out == Set(
+      (None, "2", "codec=alaw"),
+      (Some("a"), "2", "codec=ulaw")))
+  }
+
+  test("dedup keeps exactly one row per group even under a nondeterministic upstream") {
+    import org.apache.spark.sql.functions.rand
+    // the old min(monotonic-id) + semi-join plan could keep 0 or 2 rows when
+    // the two join sides re-evaluated ids over a reordered input; the
+    // single-pass dedup must be immune to upstream order
+    val clips = ClipSynth.clips(spark, 2000).toDF().orderBy(rand(7)).repartition(11)
+    val deduped = ValidationEngine.dedupEvents(clips)
+    assert(deduped.count() == TestOracle.expected(2000).events.size)
+    // survivors are exactly the distinct full rows
+    assert(deduped.distinct().count() == deduped.count())
+  }
+
   test("classification is invariant under repartitioning (determinism)") {
     val clips = ClipSynth.clips(spark, 1000).toDF().repartition(7)
     val baseline = ClipSynth.baseline(spark, 1000).toDF().repartition(3)
