@@ -35,13 +35,26 @@ object SparkEntry {
   private val reportMemo =
     new java.util.concurrent.ConcurrentHashMap[String, graft.engine.ValidationReport]()
 
+  /** Corpus root shared by the engine queries and the DuckDB oracle — both
+    * read the SAME materialized parquet. */
+  def corpusDir(dir: String): String =
+    s"/root/repo/target/oracle/${new java.io.File(dir).getName}"
+
+  /** One-time input materialization (idempotent; marker-keyed). Bench and
+    * Verify call this OUTSIDE the per-query timing: at production scale the
+    * input is a pre-existing Iceberg/parquet table, so timing in-plan audio
+    * synthesis would measure the corpus generator, not the engine. */
+  def prepare(spark: SparkSession, dir: String): Unit =
+    ClipSynth.writeAll(spark, corpusDir(dir), clipsN(dir))
+
   private def clipsReport(spark: SparkSession, dir: String) =
     reportMemo.computeIfAbsent(dir, _ => {
-      val n = clipsN(dir)
+      prepare(spark, dir)
+      val c = corpusDir(dir)
       ValidationEngine.run(spark,
-        ClipSynth.clips(spark, n).toDF(),
-        ClipSynth.transcripts(spark, n).toDF(),
-        ClipSynth.baseline(spark, n).toDF(),
+        spark.read.parquet(s"$c/clips"),
+        spark.read.parquet(s"$c/transcripts"),
+        spark.read.parquet(s"$c/baseline_clips"),
         Rule.standardPack, EngineConfig())
     })
 
@@ -419,7 +432,7 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // --------------- SimHash at 2^32 buckets/band (extreme-scale variant)
+    // ---- 128-bit SimHash, guaranteed-recall banding (7 slices for d ≤ 6)
     "q35_simhash128" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       DedupOps.simHash128NearDupPairs(t(dir, "documents"), "doc_id", "text", maxHamming = 6)
@@ -648,6 +661,38 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS byte_len,
         |  round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len,
         |  round((length(text) - length(replace(text, ' ', ''))) * 1.0 / length(text), 4) AS space_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // langId oracle: same stopword profiles, same argmax tie-break as the
+    // Spark greatest-struct (max score, then lexicographically LARGEST lang)
+    "q23_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','and','of','to','a','in','is','that','it','for'])) AS en,
+        |    len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['der','die','und','das','ist','nicht','ein','mit','von','zu'])) AS de,
+        |    len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['le','la','et','les','des','est','un','une','que','pour'])) AS fr,
+        |    len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['el','la','que','de','los','es','un','una','por','con'])) AS es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |       WHEN es = greatest(en, de, fr, es) THEN 'es'
+        |       WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // fingerprint64 oracle: the exact rolling-hash recurrence
+    // h := (h*257 + byte + 1) mod 2^61-1 evaluated with HUGEINT list_reduce
+    // (documents are ASCII, so unicode(char) == the UTF-8 byte; the modulus
+    // is a spelled-out literal — DuckDB's ** operator returns DOUBLE)
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |    (a, b) -> (a * 257 + b + 1) % CAST(2305843009213693951 AS HUGEINT)) AS BIGINT) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q25_token_regex" ->
       """SELECT doc_id,

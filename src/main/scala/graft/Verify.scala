@@ -20,9 +20,7 @@ object Verify {
     // oracle can independently reconstruct q28/q29 (engine verdicts /
     // violations) from the same inputs; path is fixed per sf-dir basename
     // and referenced from SparkEntry.oracleSql
-    graft.synth.ClipSynth.writeAll(spark,
-      s"/root/repo/target/oracle/${new java.io.File(sfDir).getName}",
-      SparkEntry.clipsN(sfDir))
+    SparkEntry.prepare(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -70,13 +70,19 @@ case class Fingerprint64(child: Expression)
   }
 
   @inline private def mulMod(a: Long, b: Long): Long = {
-    // a < 2^61, b small (257): a*b < 2^70 — do it in two 35-bit halves
-    val hi = a >>> 35
+    // a < 2^61, b ≤ 257: a*b < 2^70 overflows a long, so split a at 35 bits
+    // and fold the shifts with 2^61 ≡ 1 (mod 2^61-1). Every intermediate
+    // stays < 2^62 — a naive ((hi*b) % Mod) << 35 would overflow at 2^69.
+    val hi = a >>> 35                  // < 2^26
     val lo = a & ((1L << 35) - 1)
-    var r = ((hi * b) % Mod) << 35
-    r %= Mod
-    r += lo * b
-    r % Mod
+    val t = hi * b                     // < 2^35
+    val t1 = t >>> 26                  // < 2^9
+    val t0 = t & ((1L << 26) - 1)
+    var r = t1 + (t0 << 35)            // ≡ hi·b·2^35 (mod M), < 2^61 + 2^9
+    if (r >= Mod) r -= Mod
+    r += lo * b                        // lo·b < 2^44
+    if (r >= Mod) r -= Mod
+    r
   }
 
   override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =

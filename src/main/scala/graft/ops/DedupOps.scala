@@ -170,38 +170,66 @@ object DedupOps {
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
   }
 
-  /** SimHash near-duplicates at extreme scale: a 128-bit signature (two
-    * independent simhash64 lanes; the second lane salts every token, which
-    * decorrelates its per-token hashes) banded into four 32-bit chunks.
-    * Pigeonhole still guarantees any pair within Hamming ≤ 3 shares a
-    * chunk, but the bucket space per band is 2^32 instead of 2^16 — at
-    * 10^10 docs the expected bucket holds ~2 docs, so the within-bucket
-    * join never goes quadratic (the 64-bit variant's 65,536 buckets would
-    * hold ~10^5 docs each there). */
-  def simHash128NearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+  /** 128-bit SimHash signature per doc: two independent simhash64 lanes
+    * (the second lane salts every token, which decorrelates its per-token
+    * hashes). Exposed separately from the pairing so recall can be tested
+    * at the signature level with planted exact-Hamming pairs. */
+  def simHash128Signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextOps.distinctTokens(col(textCol))
     val salted = transform(toks, t => concat(t, lit("#2")))
-    val sigs = docs.select(col(idCol).as("_id"),
+    docs.select(col(idCol).as("_id"),
       simhash64(toks).as("_s1"), simhash64(salted).as("_s2"))
-    val chunks = (0 until 4).map { c =>
-      val lane = if (c < 2) col("_s1") else col("_s2")
+  }
+
+  /** Near-dup pairs from 128-bit signatures (columns _id, _s1, _s2), with a
+    * GUARANTEED-recall banding: the 128 bits are sliced into `maxHamming+1`
+    * contiguous chunks, so any pair within the distance bound has at least
+    * one chunk with zero differing bits (pigeonhole) and always becomes a
+    * candidate — the `bit_count` filter then makes the output exact.
+    *
+    * Scale dial: per-band bucket space is 2^(128/(maxHamming+1)) — 2^32 at
+    * d≤3, 2^18 at d≤6. At 10^10 docs the d≤6 banding holds ~38k docs per
+    * bucket, so extreme-scale callers should keep the bound tight (the
+    * guarantee-vs-bucket-size tradeoff is structural to LSH banding, not
+    * an implementation artifact). */
+  def simHash128PairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    val bounds = (0 to bands).map(b => b * 128 / bands)
+    // bits [lo, hi) of the (s2 ++ s1) 128-bit word, as one ≤58-bit slice
+    // per lane half; bucket key = (band, slice-of-s1, slice-of-s2)
+    def slice(lane: Column, laneLo: Int, lo: Int, hi: Int): Column = {
+      val l = math.max(lo, laneLo); val h = math.min(hi, laneLo + 64)
+      if (l >= h) lit(0L)
+      else {
+        val shifted = shiftrightunsigned(lane, l - laneLo)
+        if (h - l >= 64) shifted else shifted.bitwiseAND(lit((1L << (h - l)) - 1))
+      }
+    }
+    val chunks = (0 until bands).map { c =>
       struct(lit(c).as("band"),
-        shiftright(lane, (c % 2) * 32).bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
+        slice(col("_s1"), 0, bounds(c), bounds(c + 1)).as("h1"),
+        slice(col("_s2"), 64, bounds(c), bounds(c + 1)).as("h2"))
     }
     val buckets = sigs
       .select(col("_id"), col("_s1"), col("_s2"), explode(array(chunks: _*)).as("_b"))
       .select(col("_id"), col("_s1"), col("_s2"),
-        col("_b.band").as("_band"), col("_b.h").as("_h"))
+        col("_b.band").as("_band"), col("_b.h1").as("_h1"), col("_b.h2").as("_h2"))
     buckets.as("x").join(buckets.as("y"),
-        col("x._band") === col("y._band") && col("x._h") === col("y._h") &&
-          col("x._id") < col("y._id"))
+        col("x._band") === col("y._band") && col("x._h1") === col("y._h1") &&
+          col("x._h2") === col("y._h2") && col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"),
         (bit_count(col("x._s1").bitwiseXOR(col("y._s1"))) +
           bit_count(col("x._s2").bitwiseXOR(col("y._s2")))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-duplicates at extreme scale: 128-bit signatures, banded
+    * with the guaranteed-recall slicing above — every pair within
+    * `maxHamming` is found (no silent recall hole past bit-chunk width). */
+  def simHash128NearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simHash128PairsFromSigs(simHash128Signatures(docs, idCol, textCol), maxHamming)
 
   /** SimHash near-duplicates: 64-bit fingerprints, banded into four 16-bit
     * chunks (any pair within Hamming distance 3 shares ≥1 identical chunk —

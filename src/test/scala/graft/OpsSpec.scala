@@ -42,6 +42,42 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.55, s"ANN recall=$recall")
   }
 
+  test("ANN on CLUSTERED embeddings: both LSH paths score >= 0.9 recall") {
+    import spark.implicits._
+    // The corpus-based recall bars are loose because uniform-random
+    // embeddings are LSH's worst case (sims sit at the noise floor). This
+    // clustered fixture is the regression tripwire: 20 well-separated
+    // centers, 10 points each at 5% noise — a correct banding scores ~1.0,
+    // a broken bucket function ~0.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = for { c <- 0 until 20; j <- 0 until 10 }
+      yield ((c * 10 + j).toLong, centers(c).map(v => v + 0.05f * rnd.nextGaussian().toFloat))
+    val clustered = points.toDF("vec_id", "embedding")
+
+    // near-dup at 0.9: the true pairs are exactly the within-cluster pairs
+    val exact = AnnOps.exactNearDupPairs(clustered, 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 20 * (10 * 9) / 2, s"fixture separation broke: ${exact.size}")
+    val banded = AnnOps.embeddingNearDupPairs(clustered, 0.9, dim)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact))
+    val ndRecall = (banded & exact).size.toDouble / exact.size
+    assert(ndRecall >= 0.9, s"near-dup recall=$ndRecall")
+
+    // top-k: one query per cluster; LSH multiprobe must recover brute force
+    val queries = clustered.filter(col("vec_id") % 50 === 0)
+    val bf = AnnOps.bruteForceTopK(queries, clustered, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = AnnOps.lshTopK(queries, clustered, 5, dim, p = 4, probeRadius = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val topkRecall = (bf & lsh).size.toDouble / bf.size
+    assert(topkRecall >= 0.9, s"top-k recall=$topkRecall")
+  }
+
   test("simhash: identical token multisets hash identically; near-dups within hamming") {
     val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 1, 1.0) // same token sets
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -71,6 +107,34 @@ class OpsSpec extends AnyFunSuite {
     val found = DedupOps.simHash128NearDupPairs(docs, "doc_id", "text", maxHamming = 6)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     dups.foreach { p => assert(found.get(p).contains(0L), s"identical pair $p must be hamming 0") }
+    found.values.foreach(h => assert(h <= 6))
+  }
+
+  test("simhash128 banding: planted pairs at EVERY hamming distance 0..6 are found") {
+    import graft.audio.Audio
+    import spark.implicits._
+    // regression: the old 4×32-bit banding only pigeonhole-covered d ≤ 3, so
+    // a d=6 pair whose flips spread 2/2/1/1 across chunks was silently lost.
+    // Plant signature pairs at exact distances with flips spread evenly over
+    // all 128 bits (the banding's worst case) and demand exact recall.
+    val rows = (0 to 7).flatMap { d =>
+      val b1 = Audio.splitmix64(1000L + d)
+      val b2 = Audio.splitmix64(2000L + d)
+      var s1 = b1; var s2 = b2
+      (0 until d).foreach { j =>
+        val pos = j * 128 / math.max(d, 1)
+        if (pos < 64) s1 ^= 1L << pos else s2 ^= 1L << (pos - 64)
+      }
+      Seq((10L * d, b1, b2), (10L * d + 1, s1, s2))
+    }
+    val sigs = rows.toDF("_id", "_s1", "_s2")
+    val found = DedupOps.simHash128PairsFromSigs(sigs, maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    (0 to 6).foreach { d =>
+      assert(found.get((10L * d, 10L * d + 1)).contains(d.toLong),
+        s"planted pair at hamming $d not found (got ${found.get((10L * d, 10L * d + 1))})")
+    }
+    assert(!found.contains((70L, 71L))) // d=7 > bound: excluded by the filter
     found.values.foreach(h => assert(h <= 6))
   }
 
