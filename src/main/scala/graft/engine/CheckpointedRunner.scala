@@ -86,10 +86,14 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
 
     // route outputs (A1/W1-W3 analog): violations first, verdicts second,
     // lineage LAST — lineage presence is the commit marker for this run_id.
+    // Task metrics are captured over the rule-evaluation appends (the
+    // engine work); the lineage write itself is excluded by construction.
     val stamp = (df: DataFrame) => df
       .withColumn("snapshot_id", lit(snapshotId)).withColumn("run_id", lit(runId))
-    outStore.append(ViolationsTable, stamp(report.violations))
-    outStore.append(VerdictsTable, stamp(report.verdicts))
+    val (_, m) = MetricsListener.capture(spark) {
+      outStore.append(ViolationsTable, stamp(report.violations))
+      outStore.append(VerdictsTable, stamp(report.verdicts))
+    }
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
     val lineage = report.verdicts
@@ -98,7 +102,13 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
         sum(col("violation_count")).as("violation_count"))
       .select(lit(snapshotId).as("snapshot_id"), col("partition_values"),
         col("rules_evaluated"), col("violation_count"), lit(wallMs).as("wall_ms"),
-        lit(runId).as("run_id"))
+        lit(runId).as("run_id"),
+        lit(m.tasks).as("tasks"), lit(m.recordsRead).as("records_read"),
+        lit(m.bytesRead).as("bytes_read"),
+        lit(m.shuffleReadBytes).as("shuffle_read_bytes"),
+        lit(m.shuffleWriteBytes).as("shuffle_write_bytes"),
+        lit(m.executorRunTimeMs).as("executor_run_ms"),
+        lit(m.spilledBytes).as("spilled_bytes"))
     outStore.append(LineageTable, lineage)
     report.unpersist()
     outStore.read(spark, LineageTable).filter(col("snapshot_id") === snapshotId)

@@ -49,12 +49,24 @@ final class SnapshotStore(root: String) {
     df.write.mode("overwrite").parquet(tmp.toString)
     var id = currentSnapshotId(table).getOrElse(-1L) + 1L
     var claimed = false
+    var attempts = 0
     while (!claimed) {
       try {
-        Files.move(tmp, tableDir(table).resolve(s"snap-$id"))
+        Files.move(tmp, tableDir(table).resolve(s"snap-$id"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         claimed = true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => id += 1
+        // A plain Files.move's target-exists check is non-atomic (TOCTOU):
+        // a racing writer that passes the check loses the underlying
+        // rename(2) with ENOTEMPTY (DirectoryNotEmptyException), not
+        // FileAlreadyExistsException — both mean "id taken, try the next
+        // one". ATOMIC_MOVE guarantees rename semantics (snap dirs are
+        // never empty, so a loser can never silently replace a claim).
+        case e @ (_: java.nio.file.FileAlreadyExistsException |
+                  _: java.nio.file.DirectoryNotEmptyException) =>
+          attempts += 1
+          if (attempts > 10000) throw e // persistent-fault backstop
+          id += 1
       }
     }
     Files.write(manifest(table), s"$id\n".getBytes,

@@ -29,14 +29,20 @@ object StreamOps {
     * it (last-writer-wins upsert, resolved by one latest-per-key pass on
     * read — the same merge an Iceberg MERGE INTO sink would do). */
   def hourlyEventCounts(spark: SparkSession, eventsPath: String,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None, sinkDir: Option[String] = None): DataFrame = {
     // readStream needs a directory: point at the parent with a glob filter
     // when given a single file path
     val (dir, filter) = {
       val f = new java.io.File(eventsPath)
       if (f.isFile) (f.getParent, f.getName) else (eventsPath, "*")
     }
-    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    // Sink location: on any multi-node deployment pass `sinkDir` on a
+    // SHARED filesystem (DFS/object store) — executor tasks write there and
+    // the driver-side read sees all of it. The temp-dir default only works
+    // where driver and executors share a filesystem (local mode); it is
+    // deleted after the result is materialized below.
+    val outDir = sinkDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-stream-sink").toString)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     // streaming has no AQE: the state-store partition count is pinned at
@@ -75,9 +81,25 @@ object StreamOps {
     // upsert resolution: latest batch wins per (window, event_type)
     val w = Window.partitionBy(col("hour_start"), col("event_type"))
       .orderBy(col("_batch").desc)
-    spark.read.parquet(outDir)
+    val resolved = spark.read.parquet(outDir)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_batch")
+    if (sinkDir.isDefined) resolved // caller owns a shared sink dir
+    else {
+      // temp-dir sink: materialize (result = aggregated windows, small) so
+      // the scratch dir can be deleted instead of leaking per call
+      val out = resolved.localCheckpoint(true)
+      deleteRecursively(java.nio.file.Paths.get(outDir))
+      out
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

@@ -25,6 +25,29 @@ class CheckpointSpec extends AnyFunSuite {
     assert(store.currentSnapshotId("t").contains(1L))
   }
 
+  test("snapshot store: concurrent appenders never lose or overwrite a snapshot") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the reference gets this from Postgres transactions
+    // (repository/SpecimenRepository.java:35-40); here the claim-id rename
+    // loop must survive a TOCTOU race (DirectoryNotEmptyException path)
+    val root = Files.createTempDirectory("graft-snap-race").toString
+    val store = new SnapshotStore(root)
+    val writers = 6
+    val ids = Await.result(
+      Future.sequence((0 until writers).map(w => Future {
+        store.append("t", Seq((w, s"w$w")).toDF("k", "v"))
+      })), 120.seconds)
+    assert(ids.toSet.size == writers, s"claimed ids must be distinct: $ids")
+    assert(ids.toSet == (0L until writers.toLong).toSet)
+    // every writer's row is present exactly once at the final snapshot
+    val rows = store.read(spark, "t").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == (0 until writers).map(w => (w, s"w$w")).toSet)
+    assert(store.snapshots("t").size == writers)
+  }
+
   test("runResumable: full run then no-op resume; lineage covers all partitions") {
     val root = Files.createTempDirectory("graft-ckpt").toString
     val store = new SnapshotStore(s"$root/state")
@@ -41,6 +64,16 @@ class CheckpointSpec extends AnyFunSuite {
 
     val vioCount1 = out.read(spark, runner.ViolationsTable).count()
     assert(vioCount1 > 0)
+
+    // observability: lineage rows carry the run's Spark task metrics
+    // (reference analog: the Micrometer batch counters,
+    // SourceSystemDataCheckerService.java:41-66)
+    val metricsRow = lineage1
+      .select("tasks", "records_read", "shuffle_write_bytes", "executor_run_ms").head()
+    assert(metricsRow.getLong(0) > 0, "tasks")
+    assert(metricsRow.getLong(1) > 0, "records_read")
+    assert(metricsRow.getLong(2) > 0, "shuffle_write_bytes")
+    assert(metricsRow.getLong(3) > 0, "executor_run_ms")
 
     // resume: everything checkpointed → no new work, no new output rows
     val lineage2 = runner.runResumable(spark, snap, Rule.standardPack, EngineConfig(saltBuckets = 4))
