@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen can emit hot loop methods past HotSpot's 8000-byte
+  // DontCompileHugeMethods limit; those then run INTERPRETED for the whole
+  // job (measured here: stochastic 4-16x pass slowdowns depending on which
+  // AQE plan variant crossed the limit). Compile them, and give the code
+  // cache room for the per-run regenerated classes.
+  "-XX:-DontCompileHugeMethods",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -45,6 +45,10 @@ object ScalingBench {
       .config("spark.shuffle.unsafe.file.output.buffer", "1m")
       .config("spark.io.compression.lz4.blockSize", "512k")
       .config("spark.sql.adaptive.enabled", "true")
+      // generated whole-stage methods past 8000 bytecode bytes either run
+      // interpreted (default HotSpot) or stall C2 for pathological spans;
+      // falling back to non-WSCG keeps every loop compiled, cheaply
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
       .getOrCreate()

@@ -39,7 +39,10 @@ final case class ValidationReport(
     verdicts: DataFrame,
     violations: DataFrame,
     private val cached: Seq[DataFrame] = Nil) {
-  def unpersist(): Unit = cached.foreach(_.unpersist())
+  /** Blocking: the next batch must not start while this run's cache blocks
+    * still occupy executor storage memory — async removal lets a back-to-
+    * back run inherit a near-full heap and pay its predecessor's GC debt. */
+  def unpersist(): Unit = cached.foreach(_.unpersist(blocking = true))
 }
 
 /** The validation engine: compiles a `Seq[Rule]` over the clips table into

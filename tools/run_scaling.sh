@@ -31,6 +31,7 @@ run() { # run <mode> <profile>
   # either way, so pinning would not make the comparison fairer, and the
   # same defaults apply to N and 4N alike.
   java $ADD_OPENS -Xmx$DRIVER_MEM \
+    -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.ScalingBench "$1" "$N" "$WORK" "$2" 2>/dev/null \
     | grep -oE '\{"(cpus|prep)".*\}' | tail -1
