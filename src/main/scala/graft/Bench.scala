@@ -27,12 +27,24 @@ object Bench {
     // input materialization (clips corpus parquet) is NOT engine work:
     // production input is a pre-existing table, so it runs un-timed
     SparkEntry.prepare(spark, sfDir)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        // q28 must time the FULL engine run every rep: drop the memoized
+        // report first so the rep recomputes instead of counting a cache.
+        // q29 deliberately keeps the memo — violations are the second
+        // output of the SAME run (its honest cost is report-reuse).
+        if (name == "q28_clips_verdicts") SparkEntry.releaseReport(sfDir)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // engine caches must not leak into the next query's measurement
+      // (r3 lesson: the pinned q28 report inflated q35/q36 by 4-9x)
+      if (name == "q29_clips_violations") SparkEntry.releaseReport(sfDir)
+      name -> times.min
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -47,9 +47,13 @@ object ClusterBench {
     // -XX:ActiveProcessorCount=1 to reproduce the container behavior.
     sys.env.get("SPARK_GRAFT_EXEC_OPTS").filter(_.nonEmpty)
       .foreach(o => b.config("spark.executor.extraJavaOptions", o))
-    // extra session confs, ';'-separated k=v (e.g. codegen cache sizing)
+    // extra session confs, ';'-separated k=v (e.g. codegen cache sizing);
+    // malformed tokens (no '=') are skipped with a warning, not a crash
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty).foreach(_.split(';')
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+      .foreach { kv => kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => b.config(k, v)
+        case _ => System.err.println(s"[ClusterBench] ignoring malformed conf token: '$kv'")
+      }})
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -92,7 +96,9 @@ object ClusterBench {
       (System.nanoTime() - t0) / 1e9
     }
     val times = (1 to passes).map(_ => onePass())
-    val steady = times.drop(1).min // best post-warmup pass
+    // best post-warmup pass; with a single configured pass the cold pass IS
+    // the steady value (no empty .min crash)
+    val steady = if (times.size > 1) times.drop(1).min else times.head
     val all = times.map(t => f"$t%.1f").mkString("[", ",", "]")
     println(f"""{"workers":$workers,"n":$n,"profile":"$profile","cold_s":${times.head}%.1f,"validate_s":$steady%.1f,"passes":$all,"clips_per_sec":${n / steady}%.0f}""")
     spark.stop()

@@ -61,6 +61,12 @@ object SparkEntry {
   private def clipsVerdicts(spark: SparkSession, dir: String): DataFrame =
     clipsReport(spark, dir).verdicts.orderBy("partition_values", "rule_id")
 
+  /** Drop the memoized engine report for `dir` and release its executor
+    * cache blocks (blocking). Bench calls this so the q28/q29 engine caches
+    * never contaminate later queries' measurements. */
+  def releaseReport(dir: String): Unit =
+    Option(reportMemo.remove(dir)).foreach(_.unpersist())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------------------------ aggregation (A2/S4)

@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.rules.{Referential, Rule}
+import graft.rules.{Drift, Referential, Rule}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,37 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
   val LineageTable = "lineage"
   val VerdictsTable = "verdicts"
   val ViolationsTable = "violations"
+  val BaselineStatsTable = "baseline_stats"
+
+  /** Baseline drift sketches, persisted-once: the first run against a given
+    * baseline snapshot computes the KLL sketch pass over the baseline table
+    * and stores the (tiny, per-partition) sketch rows; every later run
+    * reads the stored sketches instead of re-scanning the full baseline —
+    * at 10^12 rows that re-scan would be a full-table pass per run for the
+    * drift rule alone. Reference analog: the checker reads STORED state, it
+    * does not recompute it per batch (SpecimenRepository.java:26-33).
+    * Invalidation: rows are keyed by the baseline table's snapshot id; a
+    * new baseline snapshot (or a drift rule on a column whose sketch isn't
+    * stored) triggers recompute + append. */
+  private def baselineStatsFor(
+      spark: SparkSession, driftRules: Seq[Drift], cfg: EngineConfig): Option[DataFrame] = {
+    if (driftRules.isEmpty) return None
+    val baseSnap = store.currentSnapshotId("baseline_clips").getOrElse(-1L)
+    val needed = driftRules.map(d => s"kll_${d.column}")
+    def stored: Option[DataFrame] =
+      if (!outStore.exists(BaselineStatsTable)) None
+      else {
+        val df = outStore.read(spark, BaselineStatsTable)
+          .filter(col("base_snapshot_id") === baseSnap)
+        if (needed.forall(df.columns.contains) && !df.isEmpty) Some(df) else None
+      }
+    stored.orElse {
+      outStore.append(BaselineStatsTable,
+        ValidationEngine.statsPass(store.read(spark, "baseline_clips"), driftRules, cfg)
+          .withColumn("base_snapshot_id", lit(baseSnap)))
+      stored // single source of truth: read back what the store committed
+    }
+  }
 
   def donePartitions(spark: SparkSession, snapshotId: Long): Set[String] =
     if (!outStore.exists(LineageTable)) Set.empty
@@ -56,7 +87,6 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
 
     val clips = store.read(spark, "clips", Some(snapshotId))
     val transcripts = store.read(spark, "transcripts")
-    val baseline = store.read(spark, "baseline_clips")
 
     val done = donePartitions(spark, snapshotId)
     val pv = concat(lit(cfg.partitionCol + "="),
@@ -82,17 +112,23 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
 
     val runId = java.util.UUID.randomUUID().toString
     val t0 = System.nanoTime()
-    val report = ValidationEngine.run(spark, pending, transcripts, baseline, effRules, cfg)
+    val baselineStats = baselineStatsFor(spark, effRules.collect { case d: Drift => d }, cfg)
 
     // route outputs (A1/W1-W3 analog): violations first, verdicts second,
     // lineage LAST — lineage presence is the commit marker for this run_id.
-    // Task metrics are captured over the rule-evaluation appends (the
-    // engine work); the lineage write itself is excluded by construction.
+    // Task metrics are captured over the WHOLE engine evaluation (dedup
+    // cache population, every rule branch, the output appends) under this
+    // run's job group, so (a) the input scan + dedup exchange are counted,
+    // and (b) a concurrent run on the same session contributes nothing;
+    // the lineage write itself is excluded by construction.
     val stamp = (df: DataFrame) => df
       .withColumn("snapshot_id", lit(snapshotId)).withColumn("run_id", lit(runId))
-    val (_, m) = MetricsListener.capture(spark) {
-      outStore.append(ViolationsTable, stamp(report.violations))
-      outStore.append(VerdictsTable, stamp(report.verdicts))
+    val (report, m) = MetricsListener.capture(spark, Some(runId)) {
+      val rep = ValidationEngine.run(spark, pending, transcripts,
+        store.read(spark, "baseline_clips"), effRules, cfg, baselineStats)
+      outStore.append(ViolationsTable, stamp(rep.violations))
+      outStore.append(VerdictsTable, stamp(rep.verdicts))
+      rep
     }
     val wallMs = (System.nanoTime() - t0) / 1000000L
 

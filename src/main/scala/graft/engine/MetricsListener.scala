@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.util.concurrent.atomic.LongAdder
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Task-level totals for one engine run — the Spark-metrics half of the
@@ -18,12 +18,12 @@ final case class RunMetrics(
     executorRunTimeMs: Long,
     spilledBytes: Long)
 
-/** SparkListener accumulating task metrics while attached. Thread-safe
-  * (listener bus delivery + LongAdder); attach/detach via [[MetricsListener
-  * .capture]] so a run's totals are isolated from concurrent jobs only to
-  * the extent Spark scopes them — for per-run isolation the engine attaches
-  * around its own appends (CheckpointedRunner). */
-final class MetricsListener extends SparkListener {
+/** SparkListener accumulating task metrics while attached. When `jobGroup`
+  * is set, only tasks belonging to jobs submitted under that job group are
+  * counted (job-start events carry the group; their stage ids scope the
+  * task-end events) — so two engine runs sharing one SparkSession each see
+  * ONLY their own tasks. Thread-safe (listener bus delivery + LongAdder). */
+final class MetricsListener(jobGroup: Option[String] = None) extends SparkListener {
   private val tasks = new LongAdder
   private val recordsRead = new LongAdder
   private val bytesRead = new LongAdder
@@ -31,17 +31,25 @@ final class MetricsListener extends SparkListener {
   private val sWrite = new LongAdder
   private val runTime = new LongAdder
   private val spill = new LongAdder
+  private val ownStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  override def onJobStart(j: SparkListenerJobStart): Unit = {
+    val g = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+    if (jobGroup.forall(_ == g)) j.stageIds.foreach(ownStages.add(_))
+  }
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-    tasks.increment()
-    val m = t.taskMetrics
-    if (m != null) {
-      recordsRead.add(m.inputMetrics.recordsRead)
-      bytesRead.add(m.inputMetrics.bytesRead)
-      sRead.add(m.shuffleReadMetrics.totalBytesRead)
-      sWrite.add(m.shuffleWriteMetrics.bytesWritten)
-      runTime.add(m.executorRunTime)
-      spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+    if (jobGroup.isEmpty || ownStages.contains(t.stageId)) {
+      tasks.increment()
+      val m = t.taskMetrics
+      if (m != null) {
+        recordsRead.add(m.inputMetrics.recordsRead)
+        bytesRead.add(m.inputMetrics.bytesRead)
+        sRead.add(m.shuffleReadMetrics.totalBytesRead)
+        sWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        runTime.add(m.executorRunTime)
+        spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
     }
   }
 
@@ -52,15 +60,24 @@ final class MetricsListener extends SparkListener {
 
 object MetricsListener {
   /** Run `body` with a fresh listener attached; returns (result, totals).
-    * The listener bus is drained before the snapshot so late task-end
-    * events are counted. */
-  def capture[T](spark: SparkSession)(body: => T): (T, RunMetrics) = {
-    val l = new MetricsListener
+    * When `jobGroup` is set, the calling thread's jobs are tagged with that
+    * group for the duration of `body` (Spark propagates the tag to
+    * AQE-stage and broadcast-build jobs via captured local properties), and
+    * the listener counts ONLY that group's tasks — concurrent runs on the
+    * same session no longer pollute each other's lineage metrics. The
+    * listener bus is drained before the snapshot so late task-end events
+    * are counted. */
+  def capture[T](spark: SparkSession, jobGroup: Option[String] = None)(body: => T): (T, RunMetrics) = {
+    val l = new MetricsListener(jobGroup)
     spark.sparkContext.addSparkListener(l)
+    jobGroup.foreach(g => spark.sparkContext.setJobGroup(g, s"graft run $g", false))
     try {
       val r = body
       org.apache.spark.graft.ListenerBusFlush.flush(spark.sparkContext)
       (r, l.snapshot)
-    } finally spark.sparkContext.removeSparkListener(l)
+    } finally {
+      jobGroup.foreach(_ => spark.sparkContext.clearJobGroup())
+      spark.sparkContext.removeSparkListener(l)
+    }
   }
 }

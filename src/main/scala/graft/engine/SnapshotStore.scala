@@ -21,7 +21,7 @@ import scala.jdk.CollectionConverters._
   * batch (repository/SpecimenRepository.java:26-33) — externalized state,
   * no stream state store, which is exactly why runs are resumable.
   */
-final class SnapshotStore(root: String) {
+class SnapshotStore(root: String) {
 
   private def tableDir(table: String) = Paths.get(root, table)
   private def manifest(table: String) = tableDir(table).resolve("_snapshots")
@@ -58,12 +58,17 @@ final class SnapshotStore(root: String) {
       } catch {
         // A plain Files.move's target-exists check is non-atomic (TOCTOU):
         // a racing writer that passes the check loses the underlying
-        // rename(2) with ENOTEMPTY (DirectoryNotEmptyException), not
-        // FileAlreadyExistsException — both mean "id taken, try the next
+        // rename(2) with ENOTEMPTY — surfaced as DirectoryNotEmptyException
+        // OR (observed on this kernel's UnixCopyFile.move path) a generic
+        // FileSystemException with reason "Directory not empty" — not
+        // FileAlreadyExistsException. All mean "id taken, try the next
         // one". ATOMIC_MOVE guarantees rename semantics (snap dirs are
         // never empty, so a loser can never silently replace a claim).
-        case e @ (_: java.nio.file.FileAlreadyExistsException |
-                  _: java.nio.file.DirectoryNotEmptyException) =>
+        case e: java.nio.file.FileSystemException
+            if e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+               e.isInstanceOf[java.nio.file.DirectoryNotEmptyException] ||
+               Option(e.getReason).exists(r =>
+                 r.contains("Directory not empty") || r.contains("File exists")) =>
           attempts += 1
           if (attempts > 10000) throw e // persistent-fault backstop
           id += 1
@@ -81,7 +86,12 @@ final class SnapshotStore(root: String) {
     require(ids.nonEmpty, s"table $table has no snapshots")
     val upTo = snapshot.getOrElse(ids.last)
     val dirs = ids.filter(_ <= upTo).map(i => tableDir(table).resolve(s"snap-$i").toString)
-    spark.read.parquet(dirs: _*)
+    // mergeSchema: snapshots appended by different engine versions may
+    // carry different column sets (e.g. the lineage table gaining metric
+    // columns). Default parquet inference samples ONE file, so new columns
+    // could silently vanish on a mixed-era store; merged reads surface
+    // every column, with nulls where an old snapshot lacks it.
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   def exists(table: String): Boolean = Files.exists(manifest(table))

@@ -9,6 +9,7 @@ import graft.model.Outcome
 import graft.rules._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Execution config. `saltBuckets` drives the two-phase salted aggregation
   * on the hot partition key (≈80% of rows share codec=pcm_s16le — see
@@ -98,7 +99,7 @@ object ValidationEngine {
     * later dropped), so rows within a group are byte-identical and the
     * emitted row's content does not depend on which physical row survives
     * a retry or reorder. Constant memory, single shuffle, no join. */
-  private def dedupByFingerprint(df: DataFrame): DataFrame = {
+  private def dedupByFingerprint(df: DataFrame, keepFp: Boolean = false): DataFrame = {
     val schema = df.schema
     val i1 = schema.fieldIndex("_fp1")
     val i2 = schema.fieldIndex("_fp2")
@@ -112,7 +113,7 @@ object ValidationEngine {
           keep
         }
       }(org.apache.spark.sql.Encoders.row(schema))
-      .drop("_fp1", "_fp2")
+      .drop((if (keepFp) Seq("_fp2") else Seq("_fp1", "_fp2")): _*)
   }
 
   /** Exact-duplicate event removal (S4). Dedup key = full payload
@@ -124,9 +125,16 @@ object ValidationEngine {
   /** Metadata-only deduplicated view: the payload participates in the
     * fingerprint but is DROPPED before the dedup shuffle, so the exchange
     * carries ~40 bytes/row instead of the multi-KB audio payload. All
-    * metadata rules (stats, uniqueness, referential) run off this. */
+    * metadata rules (stats, uniqueness, referential) run off this.
+    *
+    * The `_fp1` fingerprint lane is KEPT on the output: it is a
+    * deterministic function of the FULL original row (payload included), is
+    * distinct across surviving rows by construction of the dedup, and so is
+    * the ideal uniqueness-salt source — unconditionally spread (even when a
+    * hot key's duplicates are metadata-identical) yet stable under task
+    * retry (see [[uniquenessViolations]]). */
   def dedupEventsMeta(clips: DataFrame): DataFrame =
-    dedupByFingerprint(clips.select(col("*") +: fpCols: _*).drop("bytes"))
+    dedupByFingerprint(clips.select(col("*") +: fpCols: _*).drop("bytes"), keepFp = true)
 
   /** The fused per-partition stats pass: one salted two-phase aggregation
     * for ALL stats rules. Returns one row per partition value with a column
@@ -183,19 +191,29 @@ object ValidationEngine {
 
   // ------------------------------------------------------------ rule jobs
 
-  /** Row-level violations for null-rate / min-max rules: one column-pruned
-    * filter scan over events per rule, all unioned. */
-  private def rowLevelViolations(events: DataFrame, rules: Seq[Rule], cfg: EngineConfig): Seq[DataFrame] =
-    rules.collect {
+  /** Row-level violations for ALL null-rate / min-max rules in ONE fused
+    * scan: each rule contributes a nullable violation struct per row, the
+    * non-null ones explode. N rules = N scan stages before; 1 stage now —
+    * part of shrinking the engine's serial (driver-scheduling) term, which
+    * both bounds q28's floor and caps small-corpus scaling efficiency. */
+  private def rowLevelViolations(events: DataFrame, rules: Seq[Rule], cfg: EngineConfig): Seq[DataFrame] = {
+    val emitters: Seq[Column] = rules.collect {
       case r @ NullRate(c, _) =>
-        events.filter(col(c).isNull)
-          .select(col("clip_id"), lit(r.ruleId).as("rule_id"),
-            lit("NULL").as("observed"), lit("not null").as("expected"), pvCol(cfg).as(PV))
+        when(col(c).isNull, struct(lit(r.ruleId).as("rule_id"),
+          lit("NULL").as("observed"), lit("not null").as("expected")))
       case r @ MinMax(c, lo, hi) =>
-        events.filter(col(c) < lo || col(c) > hi)
-          .select(col("clip_id"), lit(r.ruleId).as("rule_id"),
-            col(c).cast("string").as("observed"), lit(s"[$lo, $hi]").as("expected"), pvCol(cfg).as(PV))
+        when(col(c) < lo || col(c) > hi, struct(lit(r.ruleId).as("rule_id"),
+          col(c).cast("string").as("observed"), lit(s"[$lo, $hi]").as("expected")))
     }
+    if (emitters.isEmpty) Nil
+    else Seq(events
+      .select(col("clip_id"), pvCol(cfg).as(PV),
+        filter(array(emitters: _*), e => e.isNotNull).as("_emits"))
+      .filter(size(col("_emits")) > 0)
+      .select(col("clip_id"), col(PV), explode(col("_emits")).as("_e"))
+      .select(col("clip_id"), col("_e.rule_id").as("rule_id"),
+        col("_e.observed").as("observed"), col("_e.expected").as("expected"), col(PV)))
+  }
 
   /** Salted two-phase uniqueness: phase 1 counts per (key, salt) — the salt
     * here spreads a pathologically hot key over reducers — phase 2 merges
@@ -209,18 +227,30 @@ object ValidationEngine {
     * min runs over the handful of violating rows after a semi-join. */
   def uniquenessViolations(events: DataFrame, rule: Uniqueness, cfg: EngineConfig): DataFrame = {
     val k = rule.column
-    // phase-1 salt must be ROW-random, not content-derived: a content salt
-    // degenerates to one reducer when a hot key's duplicates are also
-    // metadata-identical. A per-row surrogate keeps the spread unconditional,
-    // and phase 1 only counts (mergeable), so salt nondeterminism is harmless.
+    // Phase-1 salt requirements: (a) spread even when a hot key's
+    // duplicates are metadata-identical (a key-derived salt degenerates to
+    // one reducer), and (b) DETERMINISTIC per row — a row-random surrogate
+    // (monotonically_increasing_id) is re-evaluated on fetch-failure /
+    // cache-eviction retries and can route rows to different reducers than
+    // the original attempt, losing or double-counting per-(key,salt)
+    // partials. The full-row fingerprint `_fp1` (kept by dedupEventsMeta)
+    // satisfies both: it covers the payload (distinct across post-dedup
+    // rows even when visible metadata is identical) and is a pure function
+    // of row content. Inputs without it fall back to hashing every visible
+    // column — still deterministic, spread whenever rows differ anywhere.
+    val saltSrc: Column =
+      if (events.columns.contains("_fp1")) col("_fp1")
+      else xxhash64(events.columns.map(col): _*)
     val dupKeys = events
-      .select(col(k).as("_key"),
-        pmod(xxhash64(monotonically_increasing_id()), lit(cfg.saltBuckets)).as("_salt"))
+      .select(col(k).as("_key"), pmod(saltSrc, lit(cfg.saltBuckets)).as("_salt"))
       .groupBy(col("_key"), col("_salt"))
       .agg(count(lit(1)).as("_c"))
       .groupBy(col("_key"))
       .agg(sum("_c").as("_n"))
       .filter(col("_n") > 1)
+    // (run() uses the fused [[keyCounts]]-based path instead of the
+    // attribution join below; this standalone form has no partition-value
+    // domain available and keeps the 3-phase plan.)
     // null-safe attribution join: a duplicated NULL key is still a
     // violation group (equality join would silently drop it)
     events.select(col(k).as("_key"), pvCol(cfg).as(PV)).as("e")
@@ -231,9 +261,57 @@ object ValidationEngine {
         col("_n").cast("string").as("observed"), lit("1").as("expected"), col(PV))
   }
 
-  /** Referential presence both directions via anti-joins (J4 analog). */
+  /** Partition-value ordinal column: partition values are metadata-scale
+    * and known up front (the stats pass emits one row per value), so min-PV
+    * attribution can run as `min(ordinal)` — a fixed-width aggregate that
+    * stays inside HashAggregate — instead of a separate string-min job over
+    * the violating rows (string aggregation buffers force SortAggregate).
+    * The ordinal IS the lexicographic rank, so min(ordinal) ≡ min(pv). */
+  private def pvOrdinalCol(cfg: EngineConfig, pvOrdinals: Map[String, Int]): Column =
+    if (pvOrdinals.isEmpty) lit(null).cast("int")
+    else element_at(
+      map(pvOrdinals.toSeq.flatMap { case (pv, i) => Seq(lit(pv), lit(i)) }: _*), pvCol(cfg))
+
+  private def pvDecodeCol(ord: Column, pvOrdinals: Map[String, Int]): Column =
+    if (pvOrdinals.isEmpty) lit(null).cast("string")
+    else element_at(
+      map(pvOrdinals.toSeq.flatMap { case (pv, i) => Seq(lit(i), lit(pv)) }: _*), ord)
+
+  /** Per-key multiplicity + min partition ordinal in ONE salted two-phase
+    * aggregation (phase 1 spreads hot keys via the row-content salt; both
+    * aggregates are mergeable and fixed-width). Output: (_key, _n, _o) for
+    * EVERY key — the uniqueness rule filters _n > 1, and the bidirectional
+    * referential rule reuses the same rows as its child key set, so the two
+    * rules share one scan + shuffle instead of running three. */
+  def keyCounts(events: DataFrame, keyCol: String, cfg: EngineConfig,
+      pvOrdinals: Map[String, Int]): DataFrame = {
+    val saltSrc: Column =
+      if (events.columns.contains("_fp1")) col("_fp1")
+      else xxhash64(events.columns.map(col): _*)
+    events
+      .select(col(keyCol).as("_key"), pmod(saltSrc, lit(cfg.saltBuckets)).as("_salt"),
+        pvOrdinalCol(cfg, pvOrdinals).as("_o"))
+      .groupBy(col("_key"), col("_salt"))
+      .agg(count(lit(1)).as("_c"), min(col("_o")).as("_o"))
+      .groupBy(col("_key"))
+      .agg(sum("_c").as("_n"), min("_o").as("_o"))
+  }
+
+  /** Uniqueness violations off a precomputed [[keyCounts]] frame: no
+    * attribution join — multiplicity and min-PV rode the aggregation. */
+  private def uniquenessFromKeyCounts(kc: DataFrame, rule: Uniqueness,
+      pvOrdinals: Map[String, Int]): DataFrame =
+    kc.filter(col("_n") > 1)
+      .select(col("_key").as("clip_id"), lit(rule.ruleId).as("rule_id"),
+        col("_n").cast("string").as("observed"), lit("1").as("expected"),
+        pvDecodeCol(col("_o"), pvOrdinals).as(PV))
+
+  /** Referential presence both directions via anti-joins (J4 analog).
+    * `childKeys` lets the caller supply an already-aggregated distinct key
+    * set (e.g. the uniqueness rule's [[keyCounts]]) for the orphan
+    * direction, avoiding a second full-events distinct. */
   def referentialViolations(events: DataFrame, parent: DataFrame, rule: Referential,
-      cfg: EngineConfig): Seq[DataFrame] = {
+      cfg: EngineConfig, childKeys: Option[DataFrame] = None): Seq[DataFrame] = {
     val parentKeys = parent.select(col(rule.parentColumn).as(rule.childColumn)).distinct()
     val missing = sizeAwareJoin(events.select(col(rule.childColumn), pvCol(cfg).as(PV)),
         parentKeys, Seq(rule.childColumn), "left_anti", cfg.broadcastThresholdBytes)
@@ -241,8 +319,8 @@ object ValidationEngine {
         lit(s"no ${rule.parentTable} row").as("observed"), lit("present").as("expected"), col(PV))
     if (!rule.bidirectional) Seq(missing)
     else {
-      val childKeys = events.select(col(rule.childColumn)).distinct()
-      val orphans = sizeAwareJoin(parentKeys, childKeys, Seq(rule.childColumn),
+      val ck = childKeys.getOrElse(events.select(col(rule.childColumn)).distinct())
+      val orphans = sizeAwareJoin(parentKeys, ck, Seq(rule.childColumn),
           "left_anti", cfg.broadcastThresholdBytes)
         .select(col(rule.childColumn).as("clip_id"), lit(rule.ruleId).as("rule_id"),
           lit(s"orphan ${rule.parentTable} row").as("observed"),
@@ -265,22 +343,22 @@ object ValidationEngine {
     * SNR ≥ 30 dB allclose. AQE turns the suspect joins into broadcasts at
     * runtime when the suspect set is small. */
   def classifyAgainstBaseline(events: DataFrame, baseline: DataFrame, cfg: EngineConfig,
-      cacheHook: DataFrame => DataFrame = identity): DataFrame = {
+      cacheHook: DataFrame => DataFrame = identity, keepHashes: Boolean = false): DataFrame = {
     if (cfg.fullDecodeVerify) return classifyFullDecode(events, baseline, cfg)
     def h(c: Column, lane: Int): Column = xxhash64(lit(lane), c)
-    // hash projections are CACHED (narrow: ~60B/row without payload) —
-    // the plan references them from several branches (suspect derivation,
-    // suspect fetch semis, final join) and recomputing them re-reads and
-    // re-hashes the multi-KB payload column each time.
-    val cur = cacheHook(events
+    // the hash projections are each consumed exactly ONCE (by the diff
+    // join) — not cached: r4 measurement showed the columnar cache build
+    // costs more than a single consumer ever recovers. Suspect payloads
+    // are re-fetched from the raw tables below, not from here.
+    val cur = events
       .withColumn("_h1", h(col("bytes"), 3)).withColumn("_h2", h(col("bytes"), 4))
-      .drop("bytes"))
-    val base = cacheHook(baseline.select(col("clip_id"),
+      .drop("bytes")
+    val base = baseline.select(col("clip_id"),
       h(col("bytes"), 3).as("_bh1"), h(col("bytes"), 4).as("_bh2"),
-      col("transcript").as("_bt")))
+      col("transcript").as("_bt"))
     // `pre` — the widest shuffle in the system — is persisted (narrow:
-    // hashes only, no payload) so its three consumers (suspect derivation,
-    // final join, downstream routing) pay the exchange exactly ONCE.
+    // hashes only, no payload) so its consumers (suspect derivation and
+    // the final join) pay the exchange exactly ONCE.
     val pre = cacheHook(
       sizeAwareJoin(cur, base, Seq("clip_id"), "left_outer", cfg.broadcastThresholdBytes)
         .withColumn("_prelim",
@@ -291,9 +369,13 @@ object ValidationEngine {
 
     val suspectIds = cacheHook(
       pre.filter(col("_prelim") === "_suspect").select("clip_id").distinct())
-    val curPay = events.select(col("clip_id"), col("codec"), col("bytes"),
-        h(col("bytes"), 3).as("_h1"), h(col("bytes"), 4).as("_h2"))
+    // suspect payloads re-fetched and hashed AFTER the semi join: the diff
+    // lanes are recomputed for ~|suspects| rows only, instead of re-hashing
+    // every payload in the corpus a second time (the r3 plan's cost).
+    val curPay = events.select(col("clip_id"), col("codec"), col("bytes"))
       .join(suspectIds, Seq("clip_id"), "left_semi")
+      .select(col("clip_id"), col("codec"), col("bytes"),
+        h(col("bytes"), 3).as("_h1"), h(col("bytes"), 4).as("_h2"))
       .dropDuplicates("clip_id", "_h1", "_h2")
     val basePay = baseline.select(col("clip_id"), col("bytes").as("_bb"))
       .join(suspectIds, Seq("clip_id"), "left_semi")
@@ -301,29 +383,37 @@ object ValidationEngine {
       .select(col("clip_id"), col("_h1"), col("_h2"),
         pcm_allclose(col("codec"), col("_bb"), col("bytes"), cfg.minSnrDb).as("_pcm_ok"))
 
-    pre.join(resolved, Seq("clip_id", "_h1", "_h2"), "left_outer")
+    val out = pre.join(resolved, Seq("clip_id", "_h1", "_h2"), "left_outer")
       .withColumn("outcome",
         when(col("_prelim") =!= "_suspect", col("_prelim"))
           .when(col("_pcm_ok"), Outcome.Unchanged)
           .otherwise(Outcome.Changed))
-      .drop("_h1", "_h2", "_bh1", "_bh2", "_bt", "_prelim", "_pcm_ok")
+    out.drop(Seq("_bh1", "_bh2", "_bt", "_prelim", "_pcm_ok") ++
+      (if (keepHashes) Nil else Seq("_h1", "_h2")): _*)
   }
 
   /** PCM branch works on the RAW (un-deduped) clips: classifying an exact
     * duplicate yields an identical violation row, so dedup happens on the
-    * tiny violations output (fingerprint-keyed) instead of paying a second
-    * full-payload shuffle before the diff join. Net: ONE shuffle of the
-    * current payload (the join) instead of two. */
+    * tiny violations output instead of paying a second full-payload shuffle
+    * before the diff join. The dedup key is the event's full identity —
+    * every metadata column plus its payload identity (the 128-bit hash
+    * lanes the diff already computed, or the bytes themselves in
+    * full-decode mode) — so no extra full-row fingerprint pass over the
+    * multi-KB payloads is needed (r3 hashed every payload twice more for
+    * exactly this dedup). */
   private def pcmViolations(rawClips: DataFrame, baseline: DataFrame, rule: PcmEquality,
-      cfg: EngineConfig, cacheHook: DataFrame => DataFrame): DataFrame =
-    classifyAgainstBaseline(rawClips.select(col("*") +: fpCols: _*), baseline,
-        cfg.copy(minSnrDb = rule.minSnrDb), cacheHook)
+      cfg: EngineConfig, cacheHook: DataFrame => DataFrame): DataFrame = {
+    val metaCols = rawClips.columns.filterNot(_ == "bytes").toSeq
+    val dedupKey =
+      if (cfg.fullDecodeVerify) metaCols :+ "bytes"
+      else metaCols ++ Seq("_h1", "_h2")
+    classifyAgainstBaseline(rawClips, baseline,
+        cfg.copy(minSnrDb = rule.minSnrDb), cacheHook, keepHashes = true)
       .filter(col("outcome") =!= Outcome.Unchanged)
+      .dropDuplicates(dedupKey)
       .select(col("clip_id"), lit(rule.ruleId).as("rule_id"),
-        col("outcome").as("observed"), lit(Outcome.Unchanged).as("expected"), pvCol(cfg).as(PV),
-        col("_fp1"), col("_fp2"))
-      .dropDuplicates("_fp1", "_fp2")
-      .drop("_fp1", "_fp2")
+        col("outcome").as("observed"), lit(Outcome.Unchanged).as("expected"), pvCol(cfg).as(PV))
+  }
 
   /** Full-decode classify: the payloads ride the join and every matched row
     * runs decode + SNR (the north rule's per-row invariant evaluated
@@ -361,46 +451,94 @@ object ValidationEngine {
 
   // --------------------------------------------------------------- driver
 
-  /** Compile + return the full report (lazy DataFrames; nothing runs until
-    * the caller acts on them). `baselineStats` may be a persisted sketch
-    * table from a previous run; if None it is computed from `baseline`. */
+  /** Compile + evaluate the rule pack. The violations DataFrame is computed
+    * and persisted inside this call (the verdict grid needs its counts);
+    * `baselineStats` may be a persisted sketch table from a previous run —
+    * when provided, the `baseline` table is never touched for drift (and,
+    * being by-name, never even *read* unless a pcm rule needs payloads). */
   def run(
       spark: SparkSession,
       clips: DataFrame,
       transcripts: DataFrame,
-      baseline: DataFrame,
+      baseline: => DataFrame,
       rules: Seq[Rule],
       cfg: EngineConfig = EngineConfig(),
       baselineStats: Option[DataFrame] = None): ValidationReport = {
-    import spark.implicits._
 
+    lazy val baselineDf = baseline
     val extraCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val cacheHook: DataFrame => DataFrame =
       if (!cfg.persistEvents) identity
       else df => { val p = df.persist(); extraCaches += p; p }
 
-    // every branch except pcm_equality is metadata-only: cache a deduped
-    // projection WITHOUT the heavy audio payload (column pruning applied to
-    // the cache itself, not just the scans); the pcm branch streams the raw
-    // rows through its single diff-join pass instead (see pcmViolations).
+    // ---- the pcm branch reads ONLY the raw clips + baseline tables —
+    // nothing it needs waits on the dedup/stats caches — so its (dominant)
+    // evaluation is launched concurrently below while this thread populates
+    // the metadata caches and evaluates the metadata branches: branch-level
+    // pipelining that hides the whole metadata chain behind the payload
+    // diff join.
+    val pcmBranches: Seq[DataFrame] =
+      rules.collect { case p: PcmEquality => pcmViolations(clips, baselineDf, p, cfg, cacheHook) }
+    val pcmUnion = pcmBranches.reduceOption(_ unionByName _).map(df => df.persist())
+    def branchCounts(df: DataFrame): Map[(String, String), Long] = df
+      .groupBy(col(PV), col("rule_id")).agg(count(lit(1)).as("violation_count"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // job-group tag does not cross into pooled threads on its own — re-tag
+    // so a CheckpointedRunner's per-run metrics still see the pcm jobs
+    val jobGroup = Option(spark.sparkContext.getLocalProperty("spark.jobGroup.id"))
+    val pcmCountsF: Future[Map[(String, String), Long]] = pcmUnion match {
+      case None => Future.successful(Map.empty)
+      case Some(u) => Future {
+        jobGroup.foreach(g => spark.sparkContext.setJobGroup(g, s"graft run $g", false))
+        branchCounts(u)
+      }
+    }
+
     val eventsMeta0 = dedupEventsMeta(clips)
     val eventsMeta = if (cfg.persistEvents) eventsMeta0.persist() else eventsMeta0
-    if (cfg.persistEvents) eventsMeta.count() // populate cache BEFORE the fan-out:
-    // the union job schedules independent branch stages concurrently, and an
-    // unpopulated cache would make each of them recompute the dedup shuffle.
 
     val stats = statsPass(eventsMeta, rules, cfg).persist() // rows = #partitions (tiny)
+    // Materialize the stats pass FIRST: this single job populates BOTH the
+    // eventsMeta cache (before the branch fan-out — concurrently scheduled
+    // branch stages would otherwise each recompute the dedup shuffle) and
+    // the stats cache, and its rows are needed driver-side anyway (verdict
+    // thresholds + the partition-value ordinal domain). Replaces the
+    // separate count() populate job of earlier rounds.
+    val statsByPv: Map[String, org.apache.spark.sql.Row] =
+      stats.collect().map(r => r.getAs[String](PV) -> r).toMap
+    // lexicographic ranks over the (metadata-scale) partition-value domain;
+    // lets min-PV attribution run as a fixed-width min(ordinal) aggregate
+    val pvOrdinals: Map[String, Int] =
+      statsByPv.keySet.toSeq.sorted.zipWithIndex.toMap
 
     val driftRules = rules.collect { case d: Drift => d }
     val baseStats =
       if (driftRules.isEmpty) None
-      else Some(baselineStats.getOrElse(statsPass(baseline, driftRules, cfg)))
+      else Some(baselineStats.getOrElse(statsPass(baselineDf, driftRules, cfg)))
 
-    val branches: Seq[DataFrame] =
+    // one keyCounts aggregation per distinct uniqueness column, shared with
+    // the orphan direction of any bidirectional referential rule on the
+    // same column (persisted only when actually consumed twice)
+    val refRules = rules.collect { case r: Referential => r }
+    val keyCountsByCol: Map[String, DataFrame] =
+      rules.collect { case u: Uniqueness => u.column }.distinct.map { c =>
+        val kc = keyCounts(eventsMeta, c, cfg, pvOrdinals)
+        val shared = refRules.exists(r => r.bidirectional && r.childColumn == c)
+        c -> (if (shared) cacheHook(kc) else kc)
+      }.toMap
+
+    val metaBranches: Seq[DataFrame] =
       rowLevelViolations(eventsMeta, rules, cfg) ++
-      rules.collect { case u: Uniqueness => uniquenessViolations(eventsMeta, u, cfg) } ++
-      rules.collect { case r: Referential => referentialViolations(eventsMeta, transcripts, r, cfg) }.flatten ++
-      rules.collect { case p: PcmEquality => pcmViolations(clips, baseline, p, cfg, cacheHook) } ++
+      rules.collect { case u: Uniqueness =>
+        uniquenessFromKeyCounts(keyCountsByCol(u.column), u, pvOrdinals) } ++
+      refRules.map { r =>
+        val ck = keyCountsByCol.get(r.childColumn)
+          .map(_.select(col("_key").as(r.childColumn)))
+        referentialViolations(eventsMeta, transcripts, r, cfg, ck)
+      }.flatten ++
       driftRules.map(d => driftViolations(stats, baseStats.get, d, cfg))
 
     val emptyViolations = spark.createDataFrame(
@@ -411,13 +549,29 @@ object ValidationEngine {
         org.apache.spark.sql.types.StructField("observed", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("expected", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField(PV, org.apache.spark.sql.types.StringType))))
-    // violations are the SMALL output (only failing rows): persist so the
-    // three consumers (violations write, verdict counts, lineage) run the
-    // expensive rule branches exactly once.
-    val allViolations = branches.foldLeft(emptyViolations)(_ unionByName _).persist()
+    // violations are the SMALL output (only failing rows): both unions are
+    // persisted so their consumers (violation counts here, the caller's
+    // violations write, lineage) run the expensive rule branches exactly
+    // once. metaUnion is counted on THIS thread while the pcm future runs.
+    val metaUnion = metaBranches.reduceOption(_ unionByName _).map(_.persist())
+    val allViolations = (pcmUnion.toSeq ++ metaUnion.toSeq)
+      .foldLeft(emptyViolations)(_ unionByName _)
 
-    // verdict grid: every (partition, rule) pair gets a row, pass unless
-    // violations (or a stats threshold) say otherwise.
+    // ---- verdict grid (A1): every (partition, rule) pair gets a row, pass
+    // unless violations (or a stats threshold) say otherwise.
+    //
+    // Assembled DRIVER-SIDE from BOUNDED collects — the per-(pv, rule)
+    // violation counts and the per-partition stats rows. The grid is
+    // metadata-scale by construction (≤ partition-spec cardinality × rule
+    // count, the same bound as the reference's per-partition lineage), and
+    // the distributed formulation it replaces cost ~7 tiny AQE-scheduled
+    // exchange/broadcast stages of pure driver latency per run — a direct
+    // bite out of the serial term that caps small-corpus scaling.
+    val metaCounts = metaUnion.map(branchCounts).getOrElse(Map.empty)
+    val pcmCounts = Await.result(pcmCountsF, scala.concurrent.duration.Duration.Inf)
+    val vCounts: Map[(String, String), Long] =
+      (metaCounts.toSeq ++ pcmCounts.toSeq).groupMapReduce(_._1)(_._2)(_ + _)
+
     // The orphan-direction pseudo-partition ("table=<parent>") is included
     // UNCONDITIONALLY whenever a bidirectional Referential rule ran — not
     // only when it produced violations — so the resume checkpoint records
@@ -428,42 +582,33 @@ object ValidationEngine {
     val pseudoPvs = rules.collect {
       case r: Referential if r.bidirectional => s"table=${r.parentTable}"
     }
-    val pseudo =
-      if (pseudoPvs.isEmpty) spark.emptyDataset[String].toDF(PV)
-      else pseudoPvs.toDF(PV)
-    val partitions = stats.select(col(PV))
-      .union(allViolations.select(col(PV)))
-      .union(pseudo)
-      .distinct()
-    val ruleIds = rules.map(_.ruleId).toDF("rule_id")
-    val grid = partitions.crossJoin(ruleIds)
-    val vCounts = allViolations.groupBy(col(PV), col("rule_id")).agg(count(lit(1)).as("violation_count"))
+    val partitions =
+      (statsByPv.keySet ++ vCounts.keysIterator.map(_._1) ++ pseudoPvs).toSeq.sorted
 
     // threshold rules judged from the stats row, not the violation count
-    val statVerdicts: Seq[DataFrame] = rules.collect {
-      case r @ NullRate(c, maxRate) =>
-        stats.select(col(PV), lit(r.ruleId).as("rule_id"),
-          (col(s"nulls_$c") <= lit(maxRate) * col("n_rows")).as("stat_pass"))
-      case r @ ApproxDistinct(c, minD) =>
-        stats.select(col(PV), lit(r.ruleId).as("rule_id"),
-          (col(s"dv_$c") >= minD).as("stat_pass"))
+    def statPass(pv: String, r: Rule): Option[Boolean] = r match {
+      case NullRate(c, maxRate) => statsByPv.get(pv).map { s =>
+        s.getAs[Long](s"nulls_$c") <= maxRate * s.getAs[Long]("n_rows")
+      }
+      case ApproxDistinct(c, minD) => statsByPv.get(pv).map { s =>
+        s.getAs[Long](s"dv_$c") >= minD
+      }
+      case _ => None
     }
-    val statPass = statVerdicts.reduceOption(_ unionByName _)
-
-    var verdicts = grid
-      .join(vCounts, Seq(PV, "rule_id"), "left_outer")
-      .na.fill(0L, Seq("violation_count"))
-    verdicts = statPass match {
-      case Some(sp) => verdicts.join(sp, Seq(PV, "rule_id"), "left_outer")
-      case None => verdicts.withColumn("stat_pass", lit(null).cast("boolean"))
-    }
-    val verdictsOut = verdicts
-      .withColumn("pass", coalesce(col("stat_pass"), col("violation_count") === 0))
-      .select(col(PV).as("partition_values"), col("rule_id"), col("pass"), col("violation_count"))
+    val verdictRows: java.util.List[org.apache.spark.sql.Row] =
+      (for { pv <- partitions; r <- rules } yield {
+        val vc = vCounts.getOrElse((pv, r.ruleId), 0L)
+        org.apache.spark.sql.Row(pv, r.ruleId, statPass(pv, r).getOrElse(vc == 0L), vc)
+      }).asJava
+    val verdictSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("partition_values", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("rule_id", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pass", org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("violation_count", org.apache.spark.sql.types.LongType, nullable = false)))
 
     ValidationReport(
-      verdicts = verdictsOut,
+      verdicts = spark.createDataFrame(verdictRows, verdictSchema),
       violations = allViolations.drop(PV),
-      cached = Seq(eventsMeta, stats, allViolations) ++ extraCaches.toSeq)
+      cached = Seq(eventsMeta, stats) ++ pcmUnion.toSeq ++ metaUnion.toSeq ++ extraCaches.toSeq)
   }
 }

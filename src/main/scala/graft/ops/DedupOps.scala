@@ -226,10 +226,18 @@ object DedupOps {
 
   /** SimHash near-duplicates at extreme scale: 128-bit signatures, banded
     * with the guaranteed-recall slicing above — every pair within
-    * `maxHamming` is found (no silent recall hole past bit-chunk width). */
+    * `maxHamming` is found (no silent recall hole past bit-chunk width).
+    *
+    * The signatures are PERSISTED before the banding self-join: the two
+    * simhash64 lanes are interpreted (CodegenFallback) and projection
+    * collapse would otherwise inline them into both join branches and every
+    * band slice — measured at sf0.1 as ~2× the whole query's cost. The
+    * cached projection is tiny (24 B/doc); blocks are released by the
+    * ContextCleaner once the plan is unreferenced. */
   def simHash128NearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame =
-    simHash128PairsFromSigs(simHash128Signatures(docs, idCol, textCol), maxHamming)
+    simHash128PairsFromSigs(
+      simHash128Signatures(docs, idCol, textCol).persist(), maxHamming)
 
   /** SimHash near-duplicates: 64-bit fingerprints, banded into four 16-bit
     * chunks (any pair within Hamming distance 3 shares ≥1 identical chunk —
