@@ -232,10 +232,20 @@ object SparkEntry {
     }),
 
     // --------------------------------- MinHash+LSH near-dup (sketch-based)
+    // The LSH candidate set is EXPORTED to parquet and the returned result
+    // is the verification stage applied to that exported set — so the
+    // DuckDB oracle can recompute exact Jaccard over the very same pairs
+    // (containment + threshold + zero-false-positive check). The sketch
+    // stage itself stays ScalaTest-verified (recall vs exact pairs).
     "q17_minhash_lsh" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      DedupOps.minHashNearDupPairs(t(dir, "documents"), "doc_id", "text",
-          n = 3, k = 32, bands = 8, threshold = 0.2)
+      val docs = t(dir, "documents")
+      val sigs = DedupOps.minHashSignatures(docs, "doc_id", "text", n = 3, k = 32)
+      val candPath = s"${corpusDir(dir)}/cands_minhash"
+      DedupOps.lshCandidatePairs(sigs, k = 32, bands = 8)
+        .write.mode("overwrite").parquet(candPath)
+      DedupOps.verifiedJaccardPairs(s.read.parquet(candPath), docs, "doc_id", "text",
+          n = 3, threshold = 0.2)
         .orderBy("a", "b")
     }),
 
@@ -265,9 +275,15 @@ object SparkEntry {
     }),
 
     // --------------------------------------- embedding-cosine near-dup
+    // same export-the-candidates pattern as q17: the oracle recomputes
+    // exact cosine over the materialized candidate set
     "q21_embedding_neardup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      AnnOps.embeddingNearDupPairs(t(dir, "embeddings"), threshold = 0.4, dim = 64)
+      val emb = t(dir, "embeddings")
+      val candPath = s"${corpusDir(dir)}/cands_embneardup"
+      AnnOps.embeddingNearDupCandidates(emb, dim = 64)
+        .write.mode("overwrite").parquet(candPath)
+      AnnOps.verifiedCosinePairs(s.read.parquet(candPath), emb, threshold = 0.4)
         .orderBy("a", "b")
     }),
 
@@ -647,6 +663,35 @@ object SparkEntry {
         |SELECT a, b, inter, sa.n + sb.n - inter AS uni FROM pairs
         |JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2 ORDER BY a, b""".stripMargin,
+    // exact-Jaccard verification over the EXPORTED q17 candidate set: the
+    // oracle proves the verification stage (true inter/uni arithmetic,
+    // threshold, no false positives) on exactly the pairs the LSH produced
+    "q17_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         |sh AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+         |       FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)),
+         |dt AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+         |cands AS (SELECT a, b FROM read_parquet('$OracleCorpus/cands_minhash/*.parquet')),
+         |ip AS (SELECT c.a, c.b, count(*) AS inter
+         |       FROM cands c
+         |       JOIN dt x ON x.doc_id = c.a
+         |       JOIN dt y ON y.doc_id = c.b AND y.s = x.s
+         |       GROUP BY 1, 2)
+         |SELECT i.a, i.b, i.inter, sa.n + sb.n - i.inter AS uni,
+         |  round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) AS jaccard
+         |FROM ip i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+         |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.2
+         |ORDER BY a, b""".stripMargin,
+    // exact-cosine verification over the EXPORTED q21 candidate set
+    "q21_embedding_neardup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cands AS (SELECT a, b FROM read_parquet('$OracleCorpus/cands_embneardup/*.parquet')),
+         |sims AS (SELECT c.a, c.b,
+         |    list_dot_product(x.e, y.e) /
+         |      (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS sim
+         |  FROM cands c JOIN v x ON x.vec_id = c.a JOIN v y ON y.vec_id = c.b)
+         |SELECT a, b, round(sim, 3) AS sim FROM sims WHERE sim >= 0.4 ORDER BY a, b""".stripMargin,
     "q19_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 20),

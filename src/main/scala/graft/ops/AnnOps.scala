@@ -110,19 +110,36 @@ object AnnOps {
     * (id, band, bucket) — vectors rejoin for verification by id. */
   def embeddingNearDupPairs(vectors: DataFrame, threshold: Double, dim: Int,
       p: Int = 4, bands: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    verifiedCosinePairs(
+      embeddingNearDupCandidates(vectors, dim, p, bands, idCol, vecCol),
+      vectors, threshold, idCol, vecCol)
+
+  /** Candidate-pair generation stage of [[embeddingNearDupPairs]] (banded
+    * sign-bucket collisions, a < b, distinct). Exposed standalone so the
+    * candidate set can be exported and the verification stage re-checked
+    * independently (e.g. by a SQL oracle over the same materialized set). */
+  def embeddingNearDupCandidates(vectors: DataFrame, dim: Int,
+      p: Int = 4, bands: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"), lshBucket(col(vecCol), dim, p, seed = 42L + b).as("h")))
     val buckets = vectors
       .select(col(idCol).as("_id"), explode(array(bandCols: _*)).as("_b"))
       .select(col("_id"), col("_b.band").as("_band"), col("_b.h").as("_h"))
-    val cands = buckets.as("x").join(buckets.as("y"),
+    buckets.as("x").join(buckets.as("y"),
         col("x._band") === col("y._band") && col("x._h") === col("y._h") &&
           col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"))
       .distinct()
+  }
+
+  /** Exact-cosine verification of a candidate-pair set (a, b): vectors
+    * rejoin by id, one codegen'd fold per pair, threshold applied. */
+  def verifiedCosinePairs(cands: DataFrame, vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = vectors.select(col(idCol), col(vecCol))
-    cands
+    cands.select(col("a"), col("b"))
       .join(v.select(col(idCol).as("a"), col(vecCol).as("_va")), "a")
       .join(v.select(col(idCol).as("b"), col(vecCol).as("_vb")), "b")
       .withColumn("_sim", cosine(col("_va"), col("_vb")))

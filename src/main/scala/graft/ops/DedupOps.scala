@@ -68,21 +68,37 @@ object DedupOps {
     * any join: identical sets have identical fingerprints, so one groupBy
     * on a 128-bit fingerprint of the sorted distinct-element array finds
     * every duplicate cluster; pairs are enumerated inside each (tiny)
-    * cluster. Output (a, b, inter) with a < b, inter = set size. */
-  def identicalSetPairs(docs: DataFrame, idCol: String, sortedSet: Column): DataFrame = {
+    * cluster. Output (a, b, inter) with a < b, inter = set size.
+    *
+    * Cluster-size bound (100 TB guard): the aggregation buffer retains at
+    * most `maxClusterSize` member ids (exact count still tracked), so one
+    * pathological billion-copy duplicate cluster can neither materialize an
+    * O(cluster) array in a single aggregation row nor emit O(cluster²)
+    * pairs. A truncated cluster emits ONE deterministic marker row instead:
+    * `a == b == min(id)` with `inter = -clusterSize` — impossible for a
+    * real pair (which always has a < b and inter > 0). */
+  def identicalSetPairs(docs: DataFrame, idCol: String, sortedSet: Column,
+      maxClusterSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.graft.CollectCappedAgg.collect_capped
     val toks = sortedSet
     val groups = docs
       .select(col(idCol).as("_id"),
         xxhash64(lit(1), toks).as("_fp1"), xxhash64(lit(2), toks).as("_fp2"),
         size(toks).as("_n"))
       .groupBy(col("_fp1"), col("_fp2"), col("_n"))
-      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
-      .filter(size(col("_ids")) > 1)
-    groups
+      .agg(collect_capped(col("_id"), maxClusterSize).as("_g"),
+        min(col("_id")).as("_min"))
+      .select(col("_n"), sort_array(col("_g.ids")).as("_ids"),
+        col("_g.n").as("_cn"), col("_min"))
+      .filter(col("_cn") > 1)
+    val pairs = groups.filter(col("_cn") <= maxClusterSize)
       .select(col("_n"), col("_ids"), posexplode(col("_ids")).as(Seq("_i", "a")))
       .select(col("a"),
         explode(slice(col("_ids"), col("_i") + lit(2), size(col("_ids")))).as("b"),
         col("_n").cast("long").as("inter"))
+    val tooLarge = groups.filter(col("_cn") > maxClusterSize)
+      .select(col("_min").as("a"), col("_min").as("b"), (-col("_cn")).cast("long").as("inter"))
+    pairs.unionByName(tooLarge)
   }
 
   /** Identical-token-set duplicate pairs (whitespace tokens, n = 1). */
@@ -158,6 +174,17 @@ object DedupOps {
       .distinct()
   }
 
+  /** Exact Jaccard verification of an externally-supplied candidate-pair
+    * set (a, b): one array_intersect per pair, threshold applied. This is
+    * the verification stage of the LSH pipelines, exposed standalone so the
+    * candidate set can be exported and the verification independently
+    * re-checked (e.g. by a SQL oracle over the same materialized pairs). */
+  def verifiedJaccardPairs(cands: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame =
+    verifyJaccard(cands.select(col("a"), col("b")), shingleSets(docs, idCol, textCol, n), threshold)
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
+
   /** MinHash+LSH near-dup pairs, exactly verified: candidates from the
     * banded buckets, true Jaccard computed ONLY for candidates with one
     * array_intersect per pair. */
@@ -165,9 +192,7 @@ object DedupOps {
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.2): DataFrame = {
     val sigs = minHashSignatures(docs, idCol, textCol, n, k)
     val cands = lshCandidatePairs(sigs, k, bands)
-    verifyJaccard(cands, shingleSets(docs, idCol, textCol, n), threshold)
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
-      .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
+    verifiedJaccardPairs(cands, docs, idCol, textCol, n, threshold)
   }
 
   /** 128-bit SimHash signature per doc: two independent simhash64 lanes

@@ -128,6 +128,77 @@ class CheckpointSpec extends AnyFunSuite {
     assert(runner.committedOutput(spark, runner.ViolationsTable).count() == committed)
   }
 
+  test("baseline drift sketches persist on first run and later runs never re-scan the baseline") {
+    import org.apache.spark.sql.SparkSession
+    class CountingStore(root: String) extends SnapshotStore(root) {
+      val reads = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      override def read(spark: SparkSession, table: String,
+          snapshot: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+        reads.merge(table, 1, (a, b) => a + b)
+        super.read(spark, table, snapshot)
+      }
+    }
+    val root = Files.createTempDirectory("graft-ckpt-basestats").toString
+    val store = new CountingStore(s"$root/state")
+    val out = new SnapshotStore(s"$root/out")
+    val n = 2000L
+    store.append("baseline_clips", ClipSynth.baseline(spark, n).toDF())
+    store.append("transcripts", ClipSynth.transcripts(spark, n).toDF())
+    val snap1 = store.append("clips", ClipSynth.clips(spark, n).toDF())
+    // drift-bearing pack WITHOUT pcm: the baseline is then needed for the
+    // drift sketches ONLY, so a reused sketch ⇒ zero baseline reads
+    val rules = Rule.standardPack.filterNot(_.isInstanceOf[graft.rules.PcmEquality])
+    val runner = new CheckpointedRunner(store, out)
+    runner.runResumable(spark, snap1, rules, EngineConfig(saltBuckets = 4))
+    assert(out.exists(runner.BaselineStatsTable), "first run must persist the sketches")
+    def driftFails() = runner.committedOutput(spark, runner.VerdictsTable)
+      .filter(col("rule_id") === "drift:dur_ms" && !col("pass"))
+      .select("partition_values").distinct()
+      .collect().map(_.getString(0)).toSet
+    val drift1 = driftFails()
+    assert(drift1 == Set("codec=alaw"))
+
+    store.append("clips", ClipSynth.clips(spark, n).toDF()) // new snapshot → real work
+    val snap2 = store.currentSnapshotId("clips").get
+    store.reads.clear()
+    runner.runResumable(spark, snap2, rules, EngineConfig(saltBuckets = 4))
+    assert(store.reads.getOrDefault("baseline_clips", 0) == 0,
+      s"resumed run re-scanned the baseline: ${store.reads}")
+    assert(out.snapshots(runner.BaselineStatsTable).size == 1, "no sketch re-append")
+    assert(driftFails() == Set("codec=alaw"), "drift verdicts unchanged off stored sketches")
+  }
+
+  test("concurrent runs on one session report only their own task metrics (job-group scoping)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def mkRunner(n: Long) = {
+      val root = Files.createTempDirectory(s"graft-ckpt-conc$n").toString
+      val store = new SnapshotStore(s"$root/state")
+      val out = new SnapshotStore(s"$root/out")
+      store.append("baseline_clips", ClipSynth.baseline(spark, n).toDF())
+      store.append("transcripts", ClipSynth.transcripts(spark, n).toDF())
+      val snap = store.append("clips", ClipSynth.clips(spark, n).toDF())
+      (new CheckpointedRunner(store, out), snap)
+    }
+    val (smallR, smallSnap) = mkRunner(2000L)
+    val (bigR, bigSnap) = mkRunner(20000L)
+    val fSmall = Future(
+      smallR.runResumable(spark, smallSnap, Rule.standardPack, EngineConfig(saltBuckets = 4)))
+    val fBig = Future(
+      bigR.runResumable(spark, bigSnap, Rule.standardPack, EngineConfig(saltBuckets = 4)))
+    val (lSmall, lBig) = (Await.result(fSmall, 300.seconds), Await.result(fBig, 300.seconds))
+    val small = lSmall.select("records_read", "tasks").head()
+    val big = lBig.select("records_read", "tasks").head()
+    // un-scoped listeners would attribute the 10×-bigger run's tasks to the
+    // small run too; with job-group scoping the small run's totals stay
+    // near its own input volume (~12k file records incl. baseline re-reads)
+    assert(small.getLong(0) > 0 && big.getLong(0) > 0)
+    assert(small.getLong(0) < 40000L,
+      s"small run's records_read=${small.getLong(0)} polluted by the concurrent big run")
+    assert(small.getLong(0) < big.getLong(0))
+  }
+
   test("streaming windowed aggregation equals the batch plan on the same input") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamOps.hourlyEventCounts(spark, s"$dir/events.parquet")

@@ -117,6 +117,39 @@ class EngineSpec extends AnyFunSuite {
       (Some("a"), "2", "codec=ulaw")))
   }
 
+  test("uniqueness salt: a 10^4-copy hot key spreads evenly and deterministically") {
+    import spark.implicits._
+    // 10^4 events share ONE clip_id with IDENTICAL metadata, differing only
+    // in payload bytes — the worst case for any key- or metadata-derived
+    // salt (all rows would land on one reducer). The fingerprint salt kept
+    // by dedupEventsMeta must (a) spread them ~uniformly and (b) be a pure
+    // function of row content, so task retries re-derive the same routing.
+    val hot = spark.range(10000).select(
+      lit("hot").as("clip_id"),
+      encode(concat(lit("payload-"), col("id").cast("string")), "UTF-8").as("bytes"),
+      lit(8000).as("sr_hz"), lit(300).as("dur_ms"),
+      lit("pcm_s16le").as("codec"), lit("t").as("transcript"))
+    val meta = ValidationEngine.dedupEventsMeta(hot)
+    val buckets = 16
+    val counts = meta.groupBy(pmod(col("_fp1"), lit(buckets)).as("b"))
+      .count().collect().map(r => r.getLong(1))
+    assert(counts.length == buckets, s"only ${counts.length}/$buckets buckets hit")
+    assert(counts.max <= 2 * counts.min,
+      s"imbalanced salt buckets: min=${counts.min} max=${counts.max}")
+    // the reverted content(key)-derived salt fails this: every row in ONE bucket
+    val keySalt = meta.groupBy(pmod(xxhash64(col("clip_id")), lit(buckets))).count().count()
+    assert(keySalt == 1, "key-derived salt must collapse (this documents why it was replaced)")
+    // determinism: the salt is a pure function of row content — identical
+    // across recomputations over a reordered/repartitioned upstream
+    val m1 = ValidationEngine.dedupEventsMeta(hot.orderBy(rand(1)).repartition(7))
+      .select(col("_fp1"), pmod(col("_fp1"), lit(buckets))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = ValidationEngine.dedupEventsMeta(hot.repartition(3))
+      .select(col("_fp1"), pmod(col("_fp1"), lit(buckets))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == m2)
+  }
+
   test("dedup keeps exactly one row per group even under a nondeterministic upstream") {
     import org.apache.spark.sql.functions.rand
     // the old min(monotonic-id) + semi-join plan could keep 0 or 2 rows when

@@ -138,6 +138,23 @@ class OpsSpec extends AnyFunSuite {
     found.values.foreach(h => assert(h <= 6))
   }
 
+  test("identicalSetPairs: oversized clusters emit one bounded marker row, not O(n^2) pairs") {
+    import spark.implicits._
+    // 10^4 copies of one token set + a small legitimate duplicate cluster
+    val docs = (0L until 10000L).map(i => (i, "x y z")) ++
+      Seq((20000L, "a b"), (20001L, "a b"), (20002L, "a b"))
+    val out = DedupOps.identicalSetPairs(docs.toDF("doc_id", "text"), "doc_id",
+        array_sort(array_distinct(split(col("text"), " "))), maxClusterSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the hot cluster: exactly ONE deterministic marker row (min id, a==b,
+    // inter = -clusterSize), never 10^8/2 pairs
+    val markers = out.filter(v => v._1 == v._2)
+    assert(markers.toSeq == Seq((0L, 0L, -10000L)), s"got ${markers.toSeq}")
+    // the small cluster still enumerates exactly (a < b, inter = set size)
+    val pairs = out.filter(v => v._1 != v._2).toSet
+    assert(pairs == Set((20000L, 20001L, 2L), (20000L, 20002L, 2L), (20001L, 20002L, 2L)))
+  }
+
   test("fingerprint64 is deterministic, order-sensitive, collision-free on corpus") {
     val fps = docs.select(col("doc_id"), fingerprint64(col("text")).as("fp")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
