@@ -88,19 +88,44 @@ object ClusterBench {
     val spark = session(workers, memMb)
     val snapshotId = store.currentSnapshotId("clips").get
     val cfg = EngineConfig(fullDecodeVerify = profile == "full")
-    def onePass(): Double = {
+
+    // Host-level stall attribution per pass (VM co-tenancy evidence): the
+    // /proc/stat cpu line gives steal (hypervisor took our vCPU), iowait
+    // and idle jiffies; a slow pass WITH a big steal delta is external, a
+    // slow pass WITHOUT one is the app's to explain. Units: jiffies summed
+    // over all host CPUs (100 Hz per CPU).
+    def cpuStat(): Array[Long] = {
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        l.split("\\s+").drop(1).map(_.toLong)
+      } catch { case _: Throwable => Array.fill(10)(0L) }
+    }
+    def loadAvg(): String = {
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ").head
+      catch { case _: Throwable => "-1" }
+    }
+    def onePass(): (Double, String) = {
+      val s0 = cpuStat(); val l0 = loadAvg()
       val out = new SnapshotStore(s"$workDir/out-$workers-${System.nanoTime()}")
       val runner = new CheckpointedRunner(store, out)
       val t0 = System.nanoTime()
       runner.runResumable(spark, snapshotId, Rule.standardPack, cfg).count()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      val s1 = cpuStat()
+      def d(i: Int) = if (s0.length > i && s1.length > i) s1(i) - s0(i) else -1L
+      // /proc/stat cpu fields: user nice system idle iowait irq softirq steal
+      val stat = s"""{"t":${f"$t%.1f"},"steal_j":${d(7)},"iowait_j":${d(4)},""" +
+        s""""idle_j":${d(3)},"busy_j":${d(0) + d(1) + d(2)},"load0":$l0,"load1":${loadAvg()}}"""
+      (t, stat)
     }
-    val times = (1 to passes).map(_ => onePass())
+    val results = (1 to passes).map(_ => onePass())
+    val times = results.map(_._1)
     // best post-warmup pass; with a single configured pass the cold pass IS
     // the steady value (no empty .min crash)
     val steady = if (times.size > 1) times.drop(1).min else times.head
     val all = times.map(t => f"$t%.1f").mkString("[", ",", "]")
-    println(f"""{"workers":$workers,"n":$n,"profile":"$profile","cold_s":${times.head}%.1f,"validate_s":$steady%.1f,"passes":$all,"clips_per_sec":${n / steady}%.0f}""")
+    val stats = results.map(_._2).mkString("[", ",", "]")
+    println(f"""{"workers":$workers,"n":$n,"profile":"$profile","cold_s":${times.head}%.1f,"validate_s":$steady%.1f,"passes":$all,"pass_stats":$stats,"clips_per_sec":${n / steady}%.0f,"exec_opts":"${sys.env.getOrElse("SPARK_GRAFT_EXEC_OPTS", "")}"}""")
     spark.stop()
   }
 }
