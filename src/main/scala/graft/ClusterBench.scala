@@ -104,6 +104,32 @@ object ClusterBench {
       try scala.io.Source.fromFile("/proc/loadavg").getLines().next().split(" ").head
       catch { case _: Throwable => "-1" }
     }
+    // SPARK_GRAFT_STAGEDUMP=1: per-stage task-time/GC breakdown on stderr —
+    // the diagnostic view for "where does W8 burn 2x the task CPU of W2"
+    if (sys.env.get("SPARK_GRAFT_STAGEDUMP").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo; val m = si.taskMetrics
+          System.err.println(f"[stg] id=${si.stageId}%4d tasks=${si.numTasks}%-4d " +
+            f"run=${m.executorRunTime / 1000.0}%8.1fcs gc=${m.jvmGCTime / 1000.0}%6.1fcs " +
+            f"cpu=${m.executorCpuTime / 1e9}%8.1fcs deser=${m.executorDeserializeTime / 1000.0}%6.1fcs " +
+            f"sRead=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+            f"fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1000.0}%6.1fcs " +
+            f"sWrite=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+            f"wWait=${m.shuffleWriteMetrics.writeTime / 1e9}%6.1fcs " +
+            f"in=${m.inputMetrics.bytesRead / 1e6}%8.1fMB spill=${m.diskBytesSpilled / 1e6}%6.1fMB")
+        }
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics; val ti = e.taskInfo
+          if (m != null && m.executorRunTime > 200)
+            System.err.println(f"[tsk] stg=${e.stageId}%4d exec=${ti.executorId}%-3s " +
+              f"run=${m.executorRunTime}%6dms cpu=${m.executorCpuTime / 1000000}%6dms " +
+              f"gc=${m.jvmGCTime}%5dms sw=${m.shuffleWriteMetrics.writeTime / 1000000}%6dms " +
+              f"swB=${m.shuffleWriteMetrics.bytesWritten / 1048576}%5dMB")
+        }
+      })
+    }
     def onePass(): (Double, String) = {
       val s0 = cpuStat(); val l0 = loadAvg()
       val out = new SnapshotStore(s"$workDir/out-$workers-${System.nanoTime()}")
