@@ -250,9 +250,17 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------- SimHash near-dup
+    // the 64-bit signature table is EXPORTED; the result is the banded
+    // pairing over that exported table, so the DuckDB oracle can
+    // brute-force ALL pairs from the same signatures — proving both the
+    // Hamming verification and that the 4x16-bit banding has no recall
+    // hole at d<=3 (the sketch itself stays ScalaTest-verified)
     "q18_simhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      DedupOps.simHashNearDupPairs(t(dir, "documents"), "doc_id", "text", maxHamming = 3)
+      val sigPath = s"${corpusDir(dir)}/sigs_simhash64"
+      DedupOps.simHash64Signatures(t(dir, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(sigPath)
+      DedupOps.simHash64PairsFromSigs(s.read.parquet(sigPath), maxHamming = 3)
         .orderBy("a", "b")
     }),
 
@@ -266,10 +274,16 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------ ANN: LSH-bucketed
+    // candidate pairs EXPORTED; result = exact-cosine top-k re-rank over
+    // the exported candidates, oracle-recomputable pair for pair
     "q20_ann_lsh" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val emb = t(dir, "embeddings")
-      AnnOps.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 5, dim = 64, p = 4, probeRadius = 2)
+      val queries = emb.filter(col("vec_id") < 20)
+      val candPath = s"${corpusDir(dir)}/cands_annlsh"
+      AnnOps.lshTopKCandidates(queries, emb, dim = 64, p = 4, probeRadius = 2)
+        .write.mode("overwrite").parquet(candPath)
+      AnnOps.topKFromCandidates(s.read.parquet(candPath), queries, emb, k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -455,9 +469,15 @@ object SparkEntry {
     }),
 
     // ---- 128-bit SimHash, guaranteed-recall banding (7 slices for d ≤ 6)
+    // signature table EXPORTED (which also materializes the two interpreted
+    // simhash lanes exactly once); the oracle brute-forces all pairs from
+    // the same signatures — any pigeonhole-banding recall hole would show
     "q35_simhash128" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      DedupOps.simHash128NearDupPairs(t(dir, "documents"), "doc_id", "text", maxHamming = 6)
+      val sigPath = s"${corpusDir(dir)}/sigs_simhash128"
+      DedupOps.simHash128Signatures(t(dir, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(sigPath)
+      DedupOps.simHash128PairsFromSigs(s.read.parquet(sigPath), maxHamming = 6)
         .orderBy("a", "b")
     }),
 
@@ -682,6 +702,41 @@ object SparkEntry {
          |  round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) AS jaccard
          |FROM ip i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
          |WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.2
+         |ORDER BY a, b""".stripMargin,
+    // brute-force Hamming pairing over the EXPORTED q18 signature table:
+    // proves the 4x16-bit banding finds EVERY pair at d<=3 (no recall hole)
+    // and the bit_count verification, from exactly the same signatures
+    "q18_simhash" ->
+      s"""WITH s AS (SELECT _id, _sig FROM read_parquet('$OracleCorpus/sigs_simhash64/*.parquet'))
+         |SELECT x._id AS a, y._id AS b,
+         |  CAST(bit_count(xor(x._sig, y._sig)) AS BIGINT) AS hamming
+         |FROM s x JOIN s y ON x._id < y._id
+         |WHERE bit_count(xor(x._sig, y._sig)) <= 3
+         |ORDER BY a, b""".stripMargin,
+    // exact-cosine top-k re-rank over the EXPORTED q20 candidate set
+    "q20_ann_lsh" ->
+      s"""WITH cands AS (SELECT query_id, neighbor_id
+         |               FROM read_parquet('$OracleCorpus/cands_annlsh/*.parquet')),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |sims AS (SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(q.e, n.e) /
+         |      (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))) AS sim
+         |  FROM cands c JOIN v q ON q.vec_id = c.query_id JOIN v n ON n.vec_id = c.neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+         |    round(sim, 3) AS sim
+         |  FROM sims)
+         |SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    // brute-force 128-bit Hamming pairing over the EXPORTED q35 signatures:
+    // proves the pigeonhole banding is exact-recall at d<=6
+    "q35_simhash128" ->
+      s"""WITH s AS (SELECT _id, _s1, _s2
+         |           FROM read_parquet('$OracleCorpus/sigs_simhash128/*.parquet'))
+         |SELECT x._id AS a, y._id AS b,
+         |  CAST(bit_count(xor(x._s1, y._s1)) + bit_count(xor(x._s2, y._s2)) AS BIGINT) AS hamming
+         |FROM s x JOIN s y ON x._id < y._id
+         |WHERE bit_count(xor(x._s1, y._s1)) + bit_count(xor(x._s2, y._s2)) <= 6
          |ORDER BY a, b""".stripMargin,
     // exact-cosine verification over the EXPORTED q21 candidate set
     "q21_embedding_neardup" ->

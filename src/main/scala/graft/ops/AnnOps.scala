@@ -84,17 +84,40 @@ object AnnOps {
     * more buckets searched (higher recall). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       p: Int = 8, probeRadius: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKFromCandidates(
+      lshTopKCandidates(queries, corpus, dim, p, probeRadius, idCol, vecCol),
+      queries, corpus, k, idCol, vecCol)
+
+  /** Candidate (query_id, neighbor_id) pairs of [[lshTopK]]: same bucket or
+    * any multi-probe bucket within `probeRadius`. Exposed standalone so the
+    * candidate set can be exported and the re-rank stage independently
+    * re-checked (e.g. a SQL oracle recomputing exact cosine + rank over the
+    * same materialized pairs). */
+  def lshTopKCandidates(queries: DataFrame, corpus: DataFrame, dim: Int,
+      p: Int = 8, probeRadius: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucket = lshBucket(col(vecCol), dim, p)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), bucket.as("_bkt"))
-    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"), bucket.as("_qb"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), bucket.as("_bkt"))
+    val qBase = queries.select(col(idCol).as("query_id"), bucket.as("_qb"))
     val masks = probeMasks(p, probeRadius)
     val probes =
       qBase.withColumn("_bkt", explode(array(masks.map(m => col("_qb").bitwiseXOR(lit(m))): _*)))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("_sim").desc, col("neighbor_id").asc)
     probes.join(c, Seq("_bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+  }
+
+  /** Exact-cosine top-k re-rank over a candidate pair set: vectors rejoin
+    * by id, one codegen'd fold per pair, deterministic tiebreak. */
+  def topKFromCandidates(cands: DataFrame, queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_sim").desc, col("neighbor_id").asc)
+    cands.select(col("query_id"), col("neighbor_id"))
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")), "neighbor_id")
       .withColumn("_sim", cosine(col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -264,13 +264,18 @@ object DedupOps {
     simHash128PairsFromSigs(
       simHash128Signatures(docs, idCol, textCol).persist(), maxHamming)
 
-  /** SimHash near-duplicates: 64-bit fingerprints, banded into four 16-bit
-    * chunks (any pair within Hamming distance 3 shares ≥1 identical chunk —
-    * pigeonhole), verified with bit_count(a XOR b) ≤ maxHamming. */
-  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("_id"),
+  /** 64-bit SimHash signature per doc (whitespace-distinct tokens). */
+  def simHash64Signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("_id"),
       simhash64(TextOps.distinctTokens(col(textCol))).as("_sig"))
+
+  /** Banded pairing over precomputed 64-bit signatures: four 16-bit chunks
+    * (any pair within Hamming distance 3 shares ≥1 identical chunk —
+    * pigeonhole), verified with bit_count(a XOR b) ≤ maxHamming. Exposed
+    * separately so the signature table can be exported and the banding +
+    * verification re-checked externally (a SQL oracle can brute-force all
+    * pairs from the same signatures — any banding recall hole shows). */
+  def simHash64PairsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("band"), shiftright(col("_sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("h")))
     val buckets = sigs.select(col("_id"), col("_sig"), explode(array(chunks: _*)).as("_b"))
@@ -279,8 +284,13 @@ object DedupOps {
         col("x._band") === col("y._band") && col("x._h") === col("y._h") &&
           col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"),
-        bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).as("hamming"))
+        bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-duplicates: 64-bit fingerprints, banded + verified. */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simHash64PairsFromSigs(simHash64Signatures(docs, idCol, textCol), maxHamming)
 }
