@@ -19,11 +19,19 @@ import org.apache.spark.sql.SparkSession
   */
 object ClusterBench {
 
+  /** Cores per executor JVM (default 1). The north rule varies the
+    * EXECUTOR count N → 4N; production executors are multi-core, and a
+    * multi-core executor JVM also gets sane compiler/GC thread ergonomics
+    * (a 1-core-capped JVM runs a single HotSpot compiler thread, which the
+    * r4 diagnosis caught in futex storms while chewing huge codegen
+    * methods). */
+  private val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "1").toInt
+
   private def session(workers: Int, memMb: Int): SparkSession = {
     val jar = new java.io.File(
       "target/scala-2.13/sourcesystemdatacheckerspark_2.13-0.1.0.jar").getAbsolutePath
     val b = SparkSession.builder()
-      .master(s"local-cluster[$workers,1,$memMb]")
+      .master(s"local-cluster[$workers,$coresPerExec,$memMb]")
       .appName(s"graft-cluster-$workers")
       // same fixed partitioning across cluster sizes: identical plan,
       // different executor count — the thing the north rule varies
