@@ -24,41 +24,52 @@ object Bench {
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val steal0 = try {
+    def stealNow(): Long = try {
       scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")(8).toLong
     } catch { case _: Throwable => 0L }
-    // input materialization (clips corpus parquet) is NOT engine work:
-    // production input is a pre-existing table, so it runs un-timed
+    val steal0 = stealNow()
+    // input materialization (clips corpus parquet + the sketch/candidate
+    // oracle exports) is NOT engine work: production input is a
+    // pre-existing table, so it runs un-timed
     SparkEntry.prepare(spark, sfDir)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // steal gate (r4 lesson: BENCH_r04 drew 132 stolen core-s and its total
+    // read 79.6 s vs 60.6 s clean — under a hypervisor storm wall time
+    // measures the co-tenant, not the engine): each draw records its own
+    // /proc/stat steal delta; a query whose every draw was stormy gets
+    // redrawn (bounded), and the reported time is the min of CLEAN draws
+    // when any exist. cleanJ=200 jiffies = 2 stolen core-s per draw.
+    val cleanJ = sys.env.getOrElse("SPARK_GRAFT_STEAL_CLEAN_J", "200").toLong
+    var redraws = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def draw(): (Double, Long) = {
         // q28 must time the FULL engine run every rep: drop the memoized
         // report first so the rep recomputes instead of counting a cache.
         // q29 deliberately keeps the memo — violations are the second
         // output of the SAME run (its honest cost is report-reuse).
         if (name == "q28_clips_verdicts") SparkEntry.releaseReport(sfDir)
-        val t0 = System.nanoTime()
+        val s0 = stealNow(); val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, stealNow() - s0)
+      }
+      var draws = (1 to reps).map(_ => draw())
+      while (draws.forall(_._2 > cleanJ) && draws.size < reps + 2) {
+        redraws += 1; draws = draws :+ draw()
       }
       // engine caches must not leak into the next query's measurement
       // (r3 lesson: the pinned q28 report inflated q35/q36 by 4-9x)
       if (name == "q29_clips_violations") SparkEntry.releaseReport(sfDir)
-      name -> times.min
+      val clean = draws.filter(_._2 <= cleanJ)
+      name -> (if (clean.nonEmpty) clean else draws).map(_._1).min
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // hypervisor-steal accounting over the whole bench: this VM draws
-    // co-tenancy storms of 100+ stolen core-seconds per minute at times
-    // (measured r4); a run's own steal delta says whether its wall times
-    // are trustworthy (clean runs measure ~0).
-    val stealJ = try {
-      scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")(8).toLong - steal0
-    } catch { case _: Throwable => -1L }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"steal_core_s":${stealJ / 100.0}%.1f,"sf":"$sfDir"}""")
+    // whole-run steal accounting stays: a clean run measures ~0, and a big
+    // number flags that even the per-query gate may not have saved it.
+    val stealJ = stealNow() - steal0
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"steal_core_s":${stealJ / 100.0}%.1f,"redraws":$redraws,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

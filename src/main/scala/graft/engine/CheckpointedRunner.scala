@@ -37,7 +37,15 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
     * does not recompute it per batch (SpecimenRepository.java:26-33).
     * Invalidation: rows are keyed by the baseline table's snapshot id; a
     * new baseline snapshot (or a drift rule on a column whose sketch isn't
-    * stored) triggers recompute + append. */
+    * stored) triggers recompute + append.
+    *
+    * Each append is one GENERATION (`gen_id` + the `sketch_cols` it
+    * computed), and the read-back selects exactly the latest generation
+    * covering all needed columns: without that, a second append for the
+    * same baseline snapshot (drift rule added later, or two first runs
+    * racing) would read back 2+ sketch rows per partition value, and the
+    * drift left-outer join would fan out — duplicate drift violations and
+    * inflated lineage violation_count. */
   private def baselineStatsFor(
       spark: SparkSession, driftRules: Seq[Drift], cfg: EngineConfig): Option[DataFrame] = {
     if (driftRules.isEmpty) return None
@@ -46,14 +54,25 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
     def stored: Option[DataFrame] =
       if (!outStore.exists(BaselineStatsTable)) None
       else {
-        val df = outStore.read(spark, BaselineStatsTable)
+        val all = outStore.read(spark, BaselineStatsTable)
           .filter(col("base_snapshot_id") === baseSnap)
-        if (needed.forall(df.columns.contains) && !df.isEmpty) Some(df) else None
+        if (!Seq("gen_id", "sketch_cols").forall(all.columns.contains) ||
+            !needed.forall(all.columns.contains)) None
+        else {
+          val covering = needed.foldLeft(all.filter(col("gen_id").isNotNull)) {
+            (df, c) => df.filter(array_contains(col("sketch_cols"), c))
+          }
+          val latest = covering.agg(max("gen_id")).collect()(0)
+          if (latest.isNullAt(0)) None
+          else Some(covering.filter(col("gen_id") === latest.getLong(0)))
+        }
       }
     stored.orElse {
       outStore.append(BaselineStatsTable,
         ValidationEngine.statsPass(store.read(spark, "baseline_clips"), driftRules, cfg)
-          .withColumn("base_snapshot_id", lit(baseSnap)))
+          .withColumn("base_snapshot_id", lit(baseSnap))
+          .withColumn("gen_id", lit(System.nanoTime()))
+          .withColumn("sketch_cols", array(needed.map(lit): _*)))
       stored // single source of truth: read back what the store committed
     }
   }
@@ -112,18 +131,24 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
 
     val runId = java.util.UUID.randomUUID().toString
     val t0 = System.nanoTime()
-    val baselineStats = baselineStatsFor(spark, effRules.collect { case d: Drift => d }, cfg)
 
     // route outputs (A1/W1-W3 analog): violations first, verdicts second,
     // lineage LAST — lineage presence is the commit marker for this run_id.
-    // Task metrics are captured over the WHOLE engine evaluation (dedup
-    // cache population, every rule branch, the output appends) under this
-    // run's job group, so (a) the input scan + dedup exchange are counted,
-    // and (b) a concurrent run on the same session contributes nothing;
-    // the lineage write itself is excluded by construction.
+    // Task metrics are captured over the WHOLE engine evaluation — the
+    // baseline drift-sketch pass included: on the one run that actually
+    // scans the full baseline (first run per baseline snapshot) that scan
+    // is the most expensive thing the run does at 10^12 rows, so it must
+    // show up in this run's lineage records_read/bytes_read — plus dedup
+    // cache population, every rule branch, and the output appends, all
+    // under this run's job group, so (a) the input scan + dedup exchange
+    // are counted, and (b) a concurrent run on the same session
+    // contributes nothing; the lineage write itself is excluded by
+    // construction.
     val stamp = (df: DataFrame) => df
       .withColumn("snapshot_id", lit(snapshotId)).withColumn("run_id", lit(runId))
     val (report, m) = MetricsListener.capture(spark, Some(runId)) {
+      val baselineStats =
+        baselineStatsFor(spark, effRules.collect { case d: Drift => d }, cfg)
       val rep = ValidationEngine.run(spark, pending, transcripts,
         store.read(spark, "baseline_clips"), effRules, cfg, baselineStats)
       outStore.append(ViolationsTable, stamp(rep.violations))

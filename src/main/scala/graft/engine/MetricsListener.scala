@@ -69,15 +69,28 @@ object MetricsListener {
     * are counted. */
   def capture[T](spark: SparkSession, jobGroup: Option[String] = None)(body: => T): (T, RunMetrics) = {
     val l = new MetricsListener(jobGroup)
-    spark.sparkContext.addSparkListener(l)
-    jobGroup.foreach(g => spark.sparkContext.setJobGroup(g, s"graft run $g", false))
+    val sc = spark.sparkContext
+    // save/restore the caller's group (not clearJobGroup): capture may run
+    // inside a caller that set its own group, and clobbering it would
+    // mis-scope every job the caller submits after capture returns
+    val prevGroup = Option(sc.getLocalProperty("spark.jobGroup.id"))
+    val prevDesc = Option(sc.getLocalProperty("spark.job.description"))
+    val prevInterrupt = Option(sc.getLocalProperty("spark.job.interruptOnCancel"))
+    sc.addSparkListener(l)
+    jobGroup.foreach(g => sc.setJobGroup(g, s"graft run $g", false))
     try {
       val r = body
-      org.apache.spark.graft.ListenerBusFlush.flush(spark.sparkContext)
+      org.apache.spark.graft.ListenerBusFlush.flush(sc)
       (r, l.snapshot)
     } finally {
-      jobGroup.foreach(_ => spark.sparkContext.clearJobGroup())
-      spark.sparkContext.removeSparkListener(l)
+      jobGroup.foreach { _ =>
+        prevGroup match {
+          case Some(g) =>
+            sc.setJobGroup(g, prevDesc.orNull, prevInterrupt.exists(_.toBoolean))
+          case None => sc.clearJobGroup()
+        }
+      }
+      sc.removeSparkListener(l)
     }
   }
 }

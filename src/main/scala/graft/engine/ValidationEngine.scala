@@ -492,8 +492,12 @@ object ValidationEngine {
     val pcmCountsF: Future[Map[(String, String), Long]] = pcmUnion match {
       case None => Future.successful(Map.empty)
       case Some(u) => Future {
+        // the tag lives in the pooled thread's local properties, and global
+        // ExecutionContext threads are REUSED — clear in finally or a later
+        // caller's action on this thread inherits a stale group
         jobGroup.foreach(g => spark.sparkContext.setJobGroup(g, s"graft run $g", false))
-        branchCounts(u)
+        try branchCounts(u)
+        finally jobGroup.foreach(_ => spark.sparkContext.clearJobGroup())
       }
     }
 

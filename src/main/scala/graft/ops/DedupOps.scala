@@ -101,7 +101,11 @@ object DedupOps {
     pairs.unionByName(tooLarge)
   }
 
-  /** Identical-token-set duplicate pairs (whitespace tokens, n = 1). */
+  /** Identical-token-set duplicate pairs (whitespace tokens, n = 1).
+    * Inherits [[identicalSetPairs]]'s truncation sentinel: a duplicate
+    * cluster larger than the default cap yields ONE `a == b,
+    * inter = -clusterSize` marker row instead of O(cluster²) pairs —
+    * consumers that require real pairs only must filter `a < b`. */
   def tokenSetDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     identicalSetPairs(docs, idCol, array_sort(TextOps.distinctTokens(col(textCol))))
 
@@ -117,7 +121,13 @@ object DedupOps {
     *   4. exact verification per candidate via array_intersect.
     *
     * Emits (a, b, inter, uni) with a < b — byte-identical to the naive
-    * inverted-index plan, without its hot-shingle m² candidate blowup. */
+    * inverted-index plan, without its hot-shingle m² candidate blowup.
+    *
+    * At `threshold >= 1.0` this delegates to the fingerprint-groupBy path,
+    * including its truncation sentinel: a duplicate cluster past the cap
+    * emits one `a == b, inter = uni = -clusterSize` marker row (impossible
+    * for a real pair, which has a < b and inter > 0) rather than
+    * enumerating O(cluster²) pairs. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     if (threshold >= 1.0)
@@ -216,8 +226,19 @@ object DedupOps {
     * d≤3, 2^18 at d≤6. At 10^10 docs the d≤6 banding holds ~38k docs per
     * bucket, so extreme-scale callers should keep the bound tight (the
     * guarantee-vs-bucket-size tradeoff is structural to LSH banding, not
-    * an implementation artifact). */
-  def simHash128PairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    * an implementation artifact).
+    *
+    * Hot-bucket bound (100 TB guard): a bucket holding more than
+    * `maxBucketSize` members (a degenerate corpus — 10^10 near-identical
+    * docs share one signature and would drive one bucket to ~10^9·10^9
+    * comparisons) is EXCLUDED from the pair join and surfaced as ONE
+    * deterministic marker row `a == b == min(member id),
+    * hamming = -bucketSize` — impossible for a real pair (a < b,
+    * hamming ≥ 0). Pairs the oversized bucket would have found usually
+    * survive via the pair's other bands; only the recall GUARANTEE is
+    * narrowed for marked buckets, visibly. */
+  def simHash128PairsFromSigs(sigs: DataFrame, maxHamming: Int,
+      maxBucketSize: Int = 10000): DataFrame = {
     val bands = maxHamming + 1
     val bounds = (0 to bands).map(b => b * 128 / bands)
     // bits [lo, hi) of the (s2 ++ s1) 128-bit word, as one ≤58-bit slice
@@ -235,11 +256,18 @@ object DedupOps {
         slice(col("_s1"), 0, bounds(c), bounds(c + 1)).as("h1"),
         slice(col("_s2"), 64, bounds(c), bounds(c + 1)).as("h2"))
     }
+    // bucket membership count via ONE window pass (shuffle on the bucket
+    // key both join branches need anyway); the window exchange is identical
+    // in the x and y branches, so ReuseExchange evaluates it once
+    val bucketKey = Seq(col("_band"), col("_h1"), col("_h2"))
     val buckets = sigs
       .select(col("_id"), col("_s1"), col("_s2"), explode(array(chunks: _*)).as("_b"))
       .select(col("_id"), col("_s1"), col("_s2"),
         col("_b.band").as("_band"), col("_b.h1").as("_h1"), col("_b.h2").as("_h2"))
-    buckets.as("x").join(buckets.as("y"),
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(bucketKey: _*)))
+      .withColumn("_bmin", min(col("_id")).over(Window.partitionBy(bucketKey: _*)))
+    val ok = buckets.filter(col("_bn") <= maxBucketSize)
+    val pairs = ok.as("x").join(ok.as("y"),
         col("x._band") === col("y._band") && col("x._h1") === col("y._h1") &&
           col("x._h2") === col("y._h2") && col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"),
@@ -247,22 +275,31 @@ object DedupOps {
           bit_count(col("x._s2").bitwiseXOR(col("y._s2")))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    val markers = buckets.filter(col("_bn") > maxBucketSize)
+      .select(col("_bmin").as("a"), col("_bmin").as("b"),
+        (-col("_bn")).cast("long").as("hamming"))
+      .distinct()
+    pairs.unionByName(markers)
   }
 
   /** SimHash near-duplicates at extreme scale: 128-bit signatures, banded
     * with the guaranteed-recall slicing above — every pair within
     * `maxHamming` is found (no silent recall hole past bit-chunk width).
     *
-    * The signatures are PERSISTED before the banding self-join: the two
-    * simhash64 lanes are interpreted (CodegenFallback) and projection
-    * collapse would otherwise inline them into both join branches and every
-    * band slice — measured at sf0.1 as ~2× the whole query's cost. The
-    * cached projection is tiny (24 B/doc); blocks are released by the
-    * ContextCleaner once the plan is unreferenced. */
+    * The signature projection is isolated behind an explicit round-robin
+    * Exchange before the banding self-join: the two simhash64 lanes are
+    * interpreted (CodegenFallback) and projection collapse would otherwise
+    * inline them into both join branches and every band slice — measured at
+    * sf0.1 as ~2× the whole query's cost. Both self-join branches contain
+    * the identical Exchange, so ReuseExchange evaluates the lanes ONCE and
+    * replays the (24 B/doc) shuffle output — unlike `.persist()`, nothing
+    * is pinned in the session CacheManager, so repeated calls leak no
+    * executor storage (callers wanting cross-query reuse should persist the
+    * [[simHash128Signatures]] frame themselves and unpersist when done). */
   def simHash128NearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame =
     simHash128PairsFromSigs(
-      simHash128Signatures(docs, idCol, textCol).persist(), maxHamming)
+      simHash128Signatures(docs, idCol, textCol).repartition(col("_id")), maxHamming)
 
   /** 64-bit SimHash signature per doc (whitespace-distinct tokens). */
   def simHash64Signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -289,8 +326,12 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** SimHash near-duplicates: 64-bit fingerprints, banded + verified. */
+  /** SimHash near-duplicates: 64-bit fingerprints, banded + verified. Same
+    * Exchange barrier as the 128-bit variant: the interpreted signature
+    * lane is computed once and replayed from the reused shuffle, not
+    * inlined into both self-join branches. */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame =
-    simHash64PairsFromSigs(simHash64Signatures(docs, idCol, textCol), maxHamming)
+    simHash64PairsFromSigs(
+      simHash64Signatures(docs, idCol, textCol).repartition(col("_id")), maxHamming)
 }

@@ -43,41 +43,39 @@ object StreamOps {
     // deleted after the result is materialized below.
     val outDir = sinkDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-stream-sink").toString)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // Query-scoped confs via an ISOLATED child session (same SparkContext,
+    // own SQLConf): the stream's settings never touch the caller's session,
+    // so concurrent streaming queries on one session can each size their
+    // own state stores (the earlier mutate-then-restore pattern raced).
+    val ss = spark.newSession()
     // streaming has no AQE: the state-store partition count is pinned at
     // query start, and EVERY micro-batch pays a fixed open/commit cost per
     // state partition — size it to the state key cardinality, not to the
     // session's scan parallelism
-    statePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    statePartitions.foreach(p => ss.conf.set("spark.sql.shuffle.partitions", p.toString))
     // update-mode emission is complete after the last data batch; the
     // trailing no-data micro-batch only advances the watermark to evict
     // state, so skip it for a run-to-completion (AvailableNow) pass
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try {
-      val stream = spark.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", filter).parquet(dir)
-      val agg = stream
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(27,10)")).as("_sv"))
-        .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
-          col("_sv").cast("double").as("sum_value"))
-      val q = agg.writeStream
-        .outputMode("update")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("_batch", lit(batchId))
-            .write.mode("append").parquet(outDir)
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-    }
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val stream = ss.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", filter).parquet(dir)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(27,10)")).as("_sv"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
+        col("_sv").cast("double").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("_batch", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     // upsert resolution: latest batch wins per (window, event_type)
     val w = Window.partitionBy(col("hour_start"), col("event_type"))
       .orderBy(col("_batch").desc)
