@@ -168,6 +168,98 @@ class CheckpointSpec extends AnyFunSuite {
     assert(driftFails() == Set("codec=alaw"), "drift verdicts unchanged off stored sketches")
   }
 
+  test("first run's lineage metrics include the baseline sketch scan; a sketch-reusing run's do not") {
+    val root = Files.createTempDirectory("graft-ckpt-basemetrics").toString
+    val store = new SnapshotStore(s"$root/state")
+    val n = 2000L
+    store.append("baseline_clips", ClipSynth.baseline(spark, n).toDF())
+    store.append("transcripts", ClipSynth.transcripts(spark, n).toDF())
+    val snap = store.append("clips", ClipSynth.clips(spark, n).toDF())
+    val rules = Rule.standardPack.filterNot(_.isInstanceOf[graft.rules.PcmEquality])
+    // run 1 (fresh out-store): computes + persists the baseline drift
+    // sketches — that full-baseline scan is the most expensive thing a
+    // first run does at scale, so it MUST land in this run's lineage
+    val out1 = new SnapshotStore(s"$root/out1")
+    val runner1 = new CheckpointedRunner(store, out1)
+    val lin1 = runner1.runResumable(spark, snap, rules, EngineConfig(saltBuckets = 4))
+    // run 2: identical inputs/rules, but the out-store is pre-seeded with
+    // run 1's sketches — the only plan difference is the absent baseline
+    // scan, so the records_read delta isolates exactly that scan
+    val out2 = new SnapshotStore(s"$root/out2")
+    out2.append(runner1.BaselineStatsTable, out1.read(spark, runner1.BaselineStatsTable))
+    val runner2 = new CheckpointedRunner(store, out2)
+    val lin2 = runner2.runResumable(spark, snap, rules, EngineConfig(saltBuckets = 4))
+    val r1 = lin1.select("records_read").head().getLong(0)
+    val r2 = lin2.select("records_read").head().getLong(0)
+    val baseRows = store.read(spark, "baseline_clips").count()
+    assert(r1 >= r2 + baseRows / 2,
+      s"first run's records_read=$r1 must exceed the sketch-reusing run's $r2 " +
+        s"by ~the baseline scan ($baseRows rows)")
+  }
+
+  test("adding a drift rule appends a new sketch generation without fanning out drift rows") {
+    // regression (fan-out): the stored-sketch lookup filtered only on
+    // base_snapshot_id, so a second generation appended for the SAME
+    // baseline (here: a drift rule on a column whose sketch wasn't stored)
+    // read back 2+ sketch rows per partition value and the drift left-outer
+    // join duplicated every drift violation
+    val root = Files.createTempDirectory("graft-ckpt-gen").toString
+    val store = new SnapshotStore(s"$root/state")
+    val out = new SnapshotStore(s"$root/out")
+    val n = 2000L
+    store.append("baseline_clips", ClipSynth.baseline(spark, n).toDF())
+    store.append("transcripts", ClipSynth.transcripts(spark, n).toDF())
+    val snap1 = store.append("clips", ClipSynth.clips(spark, n).toDF())
+    val rules1 = Rule.standardPack.filterNot(_.isInstanceOf[graft.rules.PcmEquality])
+    val runner = new CheckpointedRunner(store, out)
+    runner.runResumable(spark, snap1, rules1, EngineConfig(saltBuckets = 4))
+
+    val snap2 = store.append("clips", ClipSynth.clips(spark, n).toDF())
+    val rules2 = rules1 :+ graft.rules.Drift("sr_hz", maxKs = 0.9)
+    runner.runResumable(spark, snap2, rules2, EngineConfig(saltBuckets = 4))
+    // the new rule's sketch column forced a second generation...
+    assert(out.snapshots(runner.BaselineStatsTable).size == 2)
+    // ...and drift evaluation read back exactly ONE sketch row per
+    // partition value: at most one violation row per (partition, rule)
+    // (a drift violation row carries its partition value as clip_id)
+    val driftVio = runner.committedOutput(spark, runner.ViolationsTable)
+      .filter(col("snapshot_id") === snap2 && col("rule_id").startsWith("drift"))
+    val fannedOut = driftVio.groupBy(col("clip_id"), col("rule_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    assert(fannedOut == 0, "duplicate drift violation rows — sketch generations fanned out")
+    // drift semantics unchanged: dur_ms drift still fires on alaw only
+    val durFails = driftVio.filter(col("rule_id") === "drift:dur_ms")
+      .select("clip_id").distinct().collect().map(_.getString(0)).toSet
+    assert(durFails == Set("codec=alaw"))
+  }
+
+  test("concurrent streaming window queries on one session do not race each other's confs") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = "/root/testdata/sf0.001"
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    // two concurrent runs with DIFFERENT state-partition settings: the
+    // query-scoped conf (isolated child session) means neither clobbers the
+    // other — the old mutate-then-restore pattern raced here
+    val f1 = Future(graft.streaming.StreamOps
+      .hourlyEventCounts(spark, s"$dir/events.parquet", statePartitions = Some(2))
+      .orderBy("hour_start", "event_type").collect())
+    val f2 = Future(graft.streaming.StreamOps
+      .hourlyEventCounts(spark, s"$dir/events.parquet", statePartitions = Some(7))
+      .orderBy("hour_start", "event_type").collect())
+    val (r1, r2) = (Await.result(f1, 300.seconds), Await.result(f2, 300.seconds))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(27,10)")).cast("double").as("sum_value"))
+      .orderBy("hour_start", "event_type").collect()
+    assert(r1.toSeq == batch.toSeq)
+    assert(r2.toSeq == batch.toSeq)
+    // the caller's session conf is untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
+  }
+
   test("concurrent runs on one session report only their own task metrics (job-group scoping)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

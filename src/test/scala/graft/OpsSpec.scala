@@ -138,6 +138,39 @@ class OpsSpec extends AnyFunSuite {
     found.values.foreach(h => assert(h <= 6))
   }
 
+  test("simhash128: oversized buckets are capped with a marker row, not quadratic pairs") {
+    import spark.implicits._
+    // a degenerate signature shared by 500 docs puts all 500 in ONE bucket
+    // of every band — uncapped, that bucket alone drives ~125k comparisons
+    // (at 10^10 docs, ~10^19); plus one planted near-pair elsewhere
+    // full-width signatures: low-entropy literals would alias the pair into
+    // the hot bucket through the all-zero high-band slices
+    val h1 = graft.audio.Audio.splitmix64(1L); val h2 = graft.audio.Audio.splitmix64(2L)
+    val p1 = graft.audio.Audio.splitmix64(3L); val p2 = graft.audio.Audio.splitmix64(4L)
+    val hot = (0L until 500L).map(i => (i, h1, h2))
+    val pair = Seq((9000L, p1, p2), (9001L, p1 ^ 1L, p2)) // hamming 1
+    val sigs = (hot ++ pair).toDF("_id", "_s1", "_s2")
+    val out = DedupOps.simHash128PairsFromSigs(sigs, maxHamming = 6, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the hot cluster surfaces as exactly ONE deterministic marker row
+    // (a == b == min member id, hamming = -bucketSize), never 500²/2 pairs
+    assert(out.filter(v => v._1 == v._2).toSeq == Seq((0L, 0L, -500L)))
+    // pairs outside the hot bucket are unaffected
+    assert(out.filter(v => v._1 != v._2).toSet == Set((9000L, 9001L, 1L)))
+  }
+
+  test("simhash near-dup pairing pins nothing in the cache manager") {
+    import org.apache.spark.storage.StorageLevel
+    // regression: the signature frame used to be .persist()ed inside the
+    // operator and never released — the CacheManager holds a strong ref
+    // until unpersist, so repeated calls leaked executor storage. The
+    // Exchange-reuse barrier computes the lanes once with no pinned cache.
+    DedupOps.simHash128NearDupPairs(docs, "doc_id", "text", maxHamming = 3).count()
+    val sigs = DedupOps.simHash128Signatures(docs, "doc_id", "text")
+    assert(sigs.storageLevel == StorageLevel.NONE,
+      "signature plan must not remain registered in the CacheManager")
+  }
+
   test("identicalSetPairs: oversized clusters emit one bounded marker row, not O(n^2) pairs") {
     import spark.implicits._
     // 10^4 copies of one token set + a small legitimate duplicate cluster
