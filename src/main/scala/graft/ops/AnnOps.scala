@@ -33,17 +33,41 @@ object AnnOps {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** (id, double-cast vector, norm) side projection for a cosine join: the
+    * cast and the norm fold are evaluated once per ROW on each side, so the
+    * per-PAIR work after the join is a single dot fold — same expression
+    * arithmetic as [[cosine]] (dot/(‖a‖·‖b‖) over the same doubles), just
+    * not re-folded three times per joined pair. */
+  private def side(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, outVec: String, outNorm: String): DataFrame = {
+    val vd = transform(col(vecCol), _.cast("double"))
+    df.select(col(idCol).as(outId), vd.as(outVec), norm(vd).as(outNorm))
+  }
+
+  private def pairSim(qv: String, qn: String, cv: String, cn: String): Column =
+    dot(col(qv), col(cv)) / (col(qn) * col(cn))
+
+  /** Spread rows over the session's configured shuffle parallelism behind an
+    * explicit Exchange: scan parallelism follows file splits and AQE
+    * coalesces small-byte exchanges — both the wrong unit for a CPU-heavy
+    * per-row vector fold (a 50 MB single-file embedding table otherwise
+    * folds on one core). */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(parts, col(key))
+  }
+
   /** Exact cosine top-k: every query row against every corpus row (the
     * query side is broadcast — callers keep it small), ranked per query
     * with a deterministic tiebreak. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = broadcast(side(queries, idCol, vecCol, "query_id", "_qv", "_qn"))
+    val c = spread(side(corpus, idCol, vecCol, "neighbor_id", "_cv", "_cn"), "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_sim").desc, col("neighbor_id").asc)
     q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("_sim", cosine(col("_qv"), col("_cv")))
+      .withColumn("_sim", pairSim("_qv", "_qn", "_cv", "_cn"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("_sim"), 3).as("sim"))
@@ -116,9 +140,10 @@ object AnnOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_sim").desc, col("neighbor_id").asc)
     cands.select(col("query_id"), col("neighbor_id"))
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")), "query_id")
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")), "neighbor_id")
-      .withColumn("_sim", cosine(col("_qv"), col("_cv")))
+      .join(side(queries, idCol, vecCol, "query_id", "_qv", "_qn"), "query_id")
+      .join(spread(side(corpus, idCol, vecCol, "neighbor_id", "_cv", "_cn"), "neighbor_id"),
+        "neighbor_id")
+      .withColumn("_sim", pairSim("_qv", "_qn", "_cv", "_cn"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("_sim"), 3).as("sim"))
@@ -160,15 +185,13 @@ object AnnOps {
   /** Exact-cosine verification of a candidate-pair set (a, b): vectors
     * rejoin by id, one codegen'd fold per pair, threshold applied. */
   def verifiedCosinePairs(cands: DataFrame, vectors: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = vectors.select(col(idCol), col(vecCol))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     cands.select(col("a"), col("b"))
-      .join(v.select(col(idCol).as("a"), col(vecCol).as("_va")), "a")
-      .join(v.select(col(idCol).as("b"), col(vecCol).as("_vb")), "b")
-      .withColumn("_sim", cosine(col("_va"), col("_vb")))
+      .join(spread(side(vectors, idCol, vecCol, "a", "_va", "_na"), "a"), "a")
+      .join(spread(side(vectors, idCol, vecCol, "b", "_vb", "_nb"), "b"), "b")
+      .withColumn("_sim", pairSim("_va", "_na", "_vb", "_nb"))
       .filter(col("_sim") >= threshold)
       .select(col("a"), col("b"), round(col("_sim"), 3).as("sim"))
-  }
 
   /** Exact near-dup pairs (the O(n²) verifier/oracle for the banded path —
     * test-scale only). */

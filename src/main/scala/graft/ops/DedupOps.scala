@@ -40,15 +40,27 @@ object DedupOps {
     df.join(keep, cols :+ idCol, "left_semi")
   }
 
+  /** Spread `df` over the session's configured shuffle parallelism before
+    * a row-amplifying or CPU-heavy projection. Scan parallelism follows
+    * file splits (`maxPartitionBytes`), which is the WRONG unit for an
+    * explode that amplifies rows ~100× or a per-row tokenize/sort: a
+    * 100 MB parquet split exploding to 10 GB of shingles runs on one core.
+    * The explicit partition count keeps AQE from re-coalescing the (small
+    * pre-explode) exchange back down. */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(parts, col(key))
+  }
+
   /** (id, shingle) inverted index over distinct word n-gram shingles. */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("_id"),
+    spread(docs, idCol).select(col(idCol).as("_id"),
       explode(array_distinct(TextOps.shingles(col(textCol), n))).as("_s"))
 
   /** Per-doc sorted distinct shingle set + its size (the verification-side
     * projection: one row per document, set rides as an array). */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("_id"),
+    spread(docs, idCol).select(col(idCol).as("_id"),
         array_sort(array_distinct(TextOps.shingles(col(textCol), n))).as("_set"))
       .withColumn("_n", size(col("_set")))
 
@@ -81,7 +93,7 @@ object DedupOps {
       maxClusterSize: Int = 10000): DataFrame = {
     import org.apache.spark.sql.graft.CollectCappedAgg.collect_capped
     val toks = sortedSet
-    val groups = docs
+    val groups = spread(docs, idCol)
       .select(col(idCol).as("_id"),
         xxhash64(lit(1), toks).as("_fp1"), xxhash64(lit(2), toks).as("_fp2"),
         size(toks).as("_n"))
@@ -138,14 +150,21 @@ object DedupOps {
         .select(col("a"), col("b"), col("inter"), col("uni"))
     val dt = shingleIndex(docs, idCol, textCol, n)
     val dfreq = dt.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
-    val sizes = dt.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val ranked = dt.join(dfreq, "_s")
-      .withColumn("_rank",
-        row_number().over(Window.partitionBy(col("_id")).orderBy(col("_df"), col("_s"))))
-      .join(sizes, "_id")
-    val prefix = ranked
-      .filter(col("_rank") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
-      .select(col("_id"), col("_s"), col("_n"))
+    // prefix selection as ONE hash aggregate: collect each doc's (df,
+    // shingle) pairs, sort the small per-doc array in codegen, slice the
+    // first `n - ceil(t·n) + 1`. Replaces the former row_number window —
+    // a global external sort of every (doc, shingle) row — and folds the
+    // separate per-doc size aggregate + join into the same pass (array
+    // length = set size, since shingles are distinct per doc). Same (df,
+    // shingle) order, so the emitted prefix is byte-identical.
+    val prefix = dt.join(dfreq, "_s")
+      .groupBy(col("_id"))
+      .agg(collect_list(struct(col("_df"), col("_s"))).as("_arr"))
+      .withColumn("_n", size(col("_arr")).cast("long"))
+      .select(col("_id"), col("_n"),
+        explode(slice(sort_array(col("_arr")), lit(1),
+          (col("_n") - ceil(lit(threshold) * col("_n")) + 1).cast("int"))).as("_p"))
+      .select(col("_id"), col("_p._s").as("_s"), col("_n"))
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x._s") === col("y._s") && col("x._id") < col("y._id") &&
           col("x._n").cast("double") >= lit(threshold) * col("y._n") &&
