@@ -148,6 +148,18 @@ object DedupOps {
           array_sort(array_distinct(TextOps.shingles(col(textCol), n))))
         .withColumn("uni", col("inter"))
         .select(col("a"), col("b"), col("inter"), col("uni"))
+    // LOW thresholds defeat the prefix filter: the indexed prefix is
+    // `n - ceil(t·n) + 1` ≈ (1-t)·n of each doc, so at t = 0.2 the
+    // "filtered" index still holds ~80% of every shingle and nearly every
+    // co-occurring pair survives as a candidate — measured at the 5k-doc
+    // test corpus: 81% of the index retained, 766k candidates for 256
+    // result pairs, each then paying the verification join (two shingle-
+    // array ships + one array_intersect). In that regime the co-occurrence
+    // COUNT over the full index IS the exact intersection size, at the
+    // same candidate-generation cost and with no verification join at all.
+    // The crossover is heuristic: above t = 0.5 prefixes are short and
+    // candidates few, so candidate+verify wins; below, counting wins.
+    if (threshold < 0.5) return countingJaccardPairs(docs, idCol, textCol, n, threshold)
     val dt = shingleIndex(docs, idCol, textCol, n)
     val dfreq = dt.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
     // prefix selection as ONE hash aggregate: collect each doc's (df,
@@ -172,6 +184,38 @@ object DedupOps {
       .select(col("x._id").as("a"), col("y._id").as("b"))
       .distinct()
     verifyJaccard(cands, shingleSets(docs, idCol, textCol, n), threshold)
+      .select(col("a"), col("b"), col("inter"), col("uni"))
+  }
+
+  /** Exact Jaccard pairs via inverted-index co-occurrence COUNTING — the
+    * low-threshold plan: each doc's distinct shingles (with the set size
+    * riding along) self-join on the shingle, and ONE hash aggregate over
+    * the co-occurrence rows computes the exact intersection size per pair
+    * — `inter = count` because shingles are distinct within a doc. No
+    * candidate materialization, no per-pair set shipping, no
+    * array_intersect. The size filter `min(na,nb) ≥ t·max(na,nb)` prunes
+    * inside the join before rows reach the aggregate.
+    *
+    * Scale note: cost is Σ_s df(s)², the inherent inverted-index bound for
+    * EXACT low-threshold Jaccard (the prefix filter provably cannot prune
+    * hot shingles at low t — they sit inside almost every prefix). A
+    * degenerate hot shingle (df ~ 10^6) makes any exact plan quadratic;
+    * at web scale use MinHash+LSH ([[minHashNearDupPairs]]) for low-t
+    * near-dup, exactly as this library's q17 does. */
+  private def countingJaccardPairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val dtn = sets.select(col("_id"), col("_n").cast("long").as("_n"),
+      explode(col("_set")).as("_s"))
+    dtn.as("x").join(dtn.as("y"),
+        col("x._s") === col("y._s") && col("x._id") < col("y._id") &&
+          col("x._n").cast("double") >= lit(threshold) * col("y._n") &&
+          col("y._n").cast("double") >= lit(threshold) * col("x._n"))
+      .groupBy(col("x._id").as("a"), col("y._id").as("b"),
+        col("x._n").as("na"), col("y._n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
       .select(col("a"), col("b"), col("inter"), col("uni"))
   }
 
