@@ -138,6 +138,22 @@ object ClusterBench {
         }
       })
     }
+    // Optional JIT warmup against a SMALL corpus before the measured
+    // passes: whole-stage codegen sources are cached by plan shape, not
+    // data size, so one pass over a 100k-row store compiles the exact same
+    // generated methods the big measured pass will run — at ~1/64 the
+    // data cost. Turns the "cold pass" from a full-size run into seconds,
+    // so a scaling cell fits inside a short hypervisor-calm window.
+    val warmupS = sys.env.get("SPARK_GRAFT_WARMUP_DIR").filter(_.nonEmpty).map { wd =>
+      val wstore = new SnapshotStore(s"$wd/state")
+      val wsid = wstore.currentSnapshotId("clips").get
+      val wout = new SnapshotStore(s"$workDir/out-warmup-${System.nanoTime()}")
+      val t0 = System.nanoTime()
+      new CheckpointedRunner(wstore, wout).runResumable(spark, wsid, Rule.standardPack, cfg).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[ClusterBench] warmup pass on $wd: $t%.1fs")
+      t
+    }
     def onePass(): (Double, String) = {
       val s0 = cpuStat(); val l0 = loadAvg()
       val out = new SnapshotStore(s"$workDir/out-$workers-${System.nanoTime()}")
@@ -159,7 +175,8 @@ object ClusterBench {
     val steady = if (times.size > 1) times.drop(1).min else times.head
     val all = times.map(t => f"$t%.1f").mkString("[", ",", "]")
     val stats = results.map(_._2).mkString("[", ",", "]")
-    println(f"""{"workers":$workers,"n":$n,"profile":"$profile","cold_s":${times.head}%.1f,"validate_s":$steady%.1f,"passes":$all,"pass_stats":$stats,"clips_per_sec":${n / steady}%.0f,"exec_opts":"${sys.env.getOrElse("SPARK_GRAFT_EXEC_OPTS", "")}"}""")
+    val warm = warmupS.map(w => f""""warmup_s":$w%.1f,""").getOrElse("")
+    println(f"""{"workers":$workers,"n":$n,"profile":"$profile",$warm"cold_s":${times.head}%.1f,"validate_s":$steady%.1f,"passes":$all,"pass_stats":$stats,"clips_per_sec":${n / steady}%.0f,"exec_opts":"${sys.env.getOrElse("SPARK_GRAFT_EXEC_OPTS", "")}"}""")
     spark.stop()
   }
 }

@@ -32,8 +32,10 @@ steal_probe() {
   a=$(awk '/^cpu /{print $9}' /proc/stat); sleep 30
   b=$(awk '/^cpu /{print $9}' /proc/stat); echo $((b - a))
 }
+WARMUP=${WARMUP:-/dev/shm/graft-c100k}
 cell() { # $1 = workers
   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 SPARK_LOCAL_DIRS=/dev/shm/spark-local \
+  SPARK_GRAFT_WARMUP_DIR="$WARMUP" \
   SPARK_GRAFT_PASSES=2 SPARK_GRAFT_PARTS=32 SPARK_GRAFT_EXEC_CORES=$CORES \
   SPARK_GRAFT_EXEC_OPTS="-XX:ActiveProcessorCount=$CORES -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=256m" \
   java $AO -Xmx8g -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m \
