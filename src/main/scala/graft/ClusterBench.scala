@@ -154,18 +154,37 @@ object ClusterBench {
       System.err.println(f"[ClusterBench] warmup pass on $wd: $t%.1fs")
       t
     }
+    // Standard-candle host-speed calibration: the hypervisor's DELIVERED
+    // per-core speed on this box drifts >2x on minute timescales with a
+    // near-zero steal counter (measured r5: adjacent fixed-work cells 3
+    // minutes apart differed 2.4x) — wall times from different cells are
+    // not comparable without an in-band reference. A fixed single-thread
+    // burst of the engine's own audio kernel runs immediately before and
+    // after each measured pass; its wall time IS the host's momentary
+    // speed, so cross-cell ratios can be normalized by candle ratio.
+    val candleRows = sys.env.getOrElse("SPARK_GRAFT_CANDLE_ROWS", "20000").toLong
+    def candle(): Double = {
+      if (candleRows <= 0) return -1.0
+      val t0 = System.nanoTime()
+      KernelProbe.work(candleRows, 7, "all")
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (candleRows > 0) candle() // JIT the candle itself before first use
     def onePass(): (Double, String) = {
       val s0 = cpuStat(); val l0 = loadAvg()
       val out = new SnapshotStore(s"$workDir/out-$workers-${System.nanoTime()}")
       val runner = new CheckpointedRunner(store, out)
+      val c0 = candle()
       val t0 = System.nanoTime()
       runner.runResumable(spark, snapshotId, Rule.standardPack, cfg).count()
       val t = (System.nanoTime() - t0) / 1e9
+      val c1 = candle()
       val s1 = cpuStat()
       def d(i: Int) = if (s0.length > i && s1.length > i) s1(i) - s0(i) else -1L
       // /proc/stat cpu fields: user nice system idle iowait irq softirq steal
       val stat = s"""{"t":${f"$t%.1f"},"steal_j":${d(7)},"iowait_j":${d(4)},""" +
-        s""""idle_j":${d(3)},"busy_j":${d(0) + d(1) + d(2)},"load0":$l0,"load1":${loadAvg()}}"""
+        s""""idle_j":${d(3)},"busy_j":${d(0) + d(1) + d(2)},"load0":$l0,"load1":${loadAvg()},""" +
+        s""""candle_pre_s":${f"$c0%.2f"},"candle_post_s":${f"$c1%.2f"}}"""
       (t, stat)
     }
     val results = (1 to passes).map(_ => onePass())
