@@ -1,0 +1,70 @@
+#!/bin/bash
+# Round-5 alternating calm-gated harvester: each calm window measures ONE
+# W_big/W_small pair at 4-core executors, alternating between the two
+# north-rule pair shapes so replication accrues for both under the same
+# storm climate:
+#   pair A: W2 vs W8  (8 vs 32 cores — the r4 verdict's named cell; needs
+#           the host to deliver all 32 vCPUs, which storms often prevent)
+#   pair B: W1 vs W4  (4 vs 16 cores — N vs 4N executors inside the box's
+#           parallel-capacity envelope, so host saturation can't mask the
+#           engine's own curve)
+# Warmup uses the 100k corpus: codegen classes are cached by plan shape,
+# not data size, and the measured 6.4M pass amortizes any residual JIT;
+# a short warmup keeps the atomic cell inside minute-scale calm windows
+# (r5 measured: storms surge within 4 min of a calm 30s probe).
+# W_big runs FIRST in each pair (shorter, scarcer draw; calm signal
+# freshest at its start). Every pass records its own /proc/stat steal
+# delta plus pre/post standard-candle times, so selection keeps only
+# counter-clean, candle-steady draws.
+# Usage: tools/calm_harvest_r5e.sh [nRows] [workDir] [outPrefix]
+cd "$(dirname "$0")/.."
+N=${1:-6400000}
+WORK=${2:-/dev/shm/graft-c6400k}
+OUTP=${3:-/tmp/cbruns5/calm_r5e}
+CORES=${CORES:-4}
+MEM=${MEM:-6144}
+CALM_J=${CALM_J:-100}   # jiffies per 30s probe
+MAXPAIRS=${MAXPAIRS:-12}
+WARMUP=${WARMUP:-/dev/shm/graft-c100k}
+PAUSE=${PAUSE:-/tmp/cbruns5/PAUSE}
+mkdir -p "$(dirname "$OUTP")"
+JAR=target/scala-2.13/sourcesystemdatacheckerspark_2.13-0.1.0.jar
+AO=$(sed -n 's/^ADD_OPENS="\(.*\)"/\1/p' tools/qrun.sh)
+steal_probe() {
+  local a b
+  a=$(awk '/^cpu /{print $9}' /proc/stat); sleep 30
+  b=$(awk '/^cpu /{print $9}' /proc/stat); echo $((b - a))
+}
+cell() { # $1 = workers, $2 = out.jsonl
+  SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 SPARK_LOCAL_DIRS=/dev/shm/spark-local \
+  SPARK_GRAFT_WARMUP_DIR="$WARMUP" SPARK_GRAFT_STAGEDUMP=1 \
+  SPARK_GRAFT_PASSES=1 SPARK_GRAFT_PARTS=32 SPARK_GRAFT_EXEC_CORES=$CORES \
+  SPARK_GRAFT_EXEC_OPTS="-XX:ActiveProcessorCount=$CORES -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=256m" \
+  java $AO -Xmx8g -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m \
+    -Dspark.ui.enabled=false -cp "$JAR:/opt/spark/jars/*" \
+    graft.ClusterBench "$1" "$N" "$WORK" full "$MEM" 2>>"$2.err" \
+    | grep -oE '\{"workers".*\}' | sed "s/^{/{\"cores\":$CORES,/" >> "$2"
+  rm -rf "$WORK"/out-* /dev/shm/spark-local/* 2>/dev/null
+}
+pairs_done=0
+shape=A
+while [ "$pairs_done" -lt "$MAXPAIRS" ]; do
+  if [ -e "$PAUSE" ]; then echo "[calm-r5e] paused $(date +%T)"; sleep 30; continue; fi
+  S=$(steal_probe)
+  echo "[calm-r5e] steal=$S j/30s next=pair$shape n=$N pairs=$pairs_done $(date +%T)"
+  if [ "$S" -lt "$CALM_J" ]; then
+    if [ "$shape" = A ]; then
+      echo "[calm-r5e] calm - pair A: W8 then W2 (4-core)"
+      cell 8 "${OUTP}_2v8.jsonl"; cell 2 "${OUTP}_2v8.jsonl"
+      tail -2 "${OUTP}_2v8.jsonl" | grep -o '"workers":[0-9]*\|"validate_s":[0-9.]*\|"steal_j":[0-9]*\|"candle_[a-z]*_s":[0-9.]*' | tr '\n' ' '; echo
+      shape=B
+    else
+      echo "[calm-r5e] calm - pair B: W4 then W1 (4-core)"
+      cell 4 "${OUTP}_1v4.jsonl"; cell 1 "${OUTP}_1v4.jsonl"
+      tail -2 "${OUTP}_1v4.jsonl" | grep -o '"workers":[0-9]*\|"validate_s":[0-9.]*\|"steal_j":[0-9]*\|"candle_[a-z]*_s":[0-9.]*' | tr '\n' ' '; echo
+      shape=A
+    fi
+    pairs_done=$((pairs_done + 1))
+  fi
+done
+echo "[calm-r5e] done: $pairs_done pairs at cores=$CORES n=$N"
