@@ -144,14 +144,30 @@ object ClusterBench {
     // generated methods the big measured pass will run — at ~1/64 the
     // data cost. Turns the "cold pass" from a full-size run into seconds,
     // so a scaling cell fits inside a short hypervisor-calm window.
+    //
+    // The warmup doubles as an IN-BAND storm gate: an idle 30 s /proc/stat
+    // probe is blind to co-tenant burstiness (steal only accrues while our
+    // vCPUs are runnable, and storms surge within minutes of a calm probe —
+    // both measured r5), but the warmup pass lights up every executor, so
+    // its own steal delta samples the host under exactly the load the
+    // measured pass will apply. With SPARK_GRAFT_ABORT_STEAL_J set, a
+    // stormy warmup aborts the cell (exit 3) BEFORE the expensive measured
+    // pass, so harvest time is spent on draws that can be clean.
     val warmupS = sys.env.get("SPARK_GRAFT_WARMUP_DIR").filter(_.nonEmpty).map { wd =>
       val wstore = new SnapshotStore(s"$wd/state")
       val wsid = wstore.currentSnapshotId("clips").get
       val wout = new SnapshotStore(s"$workDir/out-warmup-${System.nanoTime()}")
+      val s0 = cpuStat()
       val t0 = System.nanoTime()
       new CheckpointedRunner(wstore, wout).runResumable(spark, wsid, Rule.standardPack, cfg).count()
       val t = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[ClusterBench] warmup pass on $wd: $t%.1fs")
+      val stealJ = { val s1 = cpuStat(); if (s0.length > 7 && s1.length > 7) s1(7) - s0(7) else -1L }
+      System.err.println(f"[ClusterBench] warmup pass on $wd: $t%.1fs steal_j=$stealJ")
+      sys.env.get("SPARK_GRAFT_ABORT_STEAL_J").map(_.toLong).filter(stealJ > _).foreach { th =>
+        println(s"""{"workers":$workers,"n":$n,"profile":"$profile","aborted":"warmup_steal","warmup_s":${f"$t%.1f"},"warmup_steal_j":$stealJ,"threshold_j":$th}""")
+        spark.stop()
+        sys.exit(3)
+      }
       t
     }
     // Standard-candle host-speed calibration: the hypervisor's DELIVERED

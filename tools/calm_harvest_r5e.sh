@@ -35,16 +35,20 @@ steal_probe() {
   a=$(awk '/^cpu /{print $9}' /proc/stat); sleep 30
   b=$(awk '/^cpu /{print $9}' /proc/stat); echo $((b - a))
 }
-cell() { # $1 = workers, $2 = out.jsonl
+cell() { # $1 = workers, $2 = out.jsonl; returns ClusterBench's exit code
+  # (3 = warmup hit the in-band steal gate; the measured pass never ran)
   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 SPARK_LOCAL_DIRS=/dev/shm/spark-local \
   SPARK_GRAFT_WARMUP_DIR="$WARMUP" SPARK_GRAFT_STAGEDUMP=1 \
+  SPARK_GRAFT_ABORT_STEAL_J=${ABORT_J:-400} \
   SPARK_GRAFT_PASSES=1 SPARK_GRAFT_PARTS=32 SPARK_GRAFT_EXEC_CORES=$CORES \
   SPARK_GRAFT_EXEC_OPTS="-XX:ActiveProcessorCount=$CORES -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=256m" \
   java $AO -Xmx8g -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m \
     -Dspark.ui.enabled=false -cp "$JAR:/opt/spark/jars/*" \
     graft.ClusterBench "$1" "$N" "$WORK" full "$MEM" 2>>"$2.err" \
     | grep -oE '\{"workers".*\}' | sed "s/^{/{\"cores\":$CORES,/" >> "$2"
+  local rc=${PIPESTATUS[0]}
   rm -rf "$WORK"/out-* /dev/shm/spark-local/* 2>/dev/null
+  return "$rc"
 }
 pairs_done=0
 shape=A
@@ -55,16 +59,25 @@ while [ "$pairs_done" -lt "$MAXPAIRS" ]; do
   if [ "$S" -lt "$CALM_J" ]; then
     if [ "$shape" = A ]; then
       echo "[calm-r5e] calm - pair A: W8 then W2 (4-core)"
-      cell 8 "${OUTP}_2v8.jsonl"; cell 2 "${OUTP}_2v8.jsonl"
-      tail -2 "${OUTP}_2v8.jsonl" | grep -o '"workers":[0-9]*\|"validate_s":[0-9.]*\|"steal_j":[0-9]*\|"candle_[a-z]*_s":[0-9.]*' | tr '\n' ' '; echo
-      shape=B
+      if cell 8 "${OUTP}_2v8.jsonl"; then
+        cell 2 "${OUTP}_2v8.jsonl"
+        pairs_done=$((pairs_done + 1))
+        shape=B
+      else
+        echo "[calm-r5e] W8 warmup hit the steal gate - pair skipped, re-probing"
+      fi
+      tail -2 "${OUTP}_2v8.jsonl" | grep -o '"workers":[0-9]*\|"validate_s":[0-9.]*\|"steal_j":[0-9]*\|"aborted":"[a-z_]*"\|"candle_[a-z]*_s":[0-9.]*' | tr '\n' ' '; echo
     else
       echo "[calm-r5e] calm - pair B: W4 then W1 (4-core)"
-      cell 4 "${OUTP}_1v4.jsonl"; cell 1 "${OUTP}_1v4.jsonl"
-      tail -2 "${OUTP}_1v4.jsonl" | grep -o '"workers":[0-9]*\|"validate_s":[0-9.]*\|"steal_j":[0-9]*\|"candle_[a-z]*_s":[0-9.]*' | tr '\n' ' '; echo
-      shape=A
+      if cell 4 "${OUTP}_1v4.jsonl"; then
+        cell 1 "${OUTP}_1v4.jsonl"
+        pairs_done=$((pairs_done + 1))
+        shape=A
+      else
+        echo "[calm-r5e] W4 warmup hit the steal gate - pair skipped, re-probing"
+      fi
+      tail -2 "${OUTP}_1v4.jsonl" | grep -o '"workers":[0-9]*\|"validate_s":[0-9.]*\|"steal_j":[0-9]*\|"aborted":"[a-z_]*"\|"candle_[a-z]*_s":[0-9.]*' | tr '\n' ' '; echo
     fi
-    pairs_done=$((pairs_done + 1))
   fi
 done
 echo "[calm-r5e] done: $pairs_done pairs at cores=$CORES n=$N"
