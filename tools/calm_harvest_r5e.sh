@@ -62,20 +62,24 @@ while [ "$pairs_done" -lt "$MAXPAIRS" ]; do
       if cell 8 "${OUTP}_2v8.jsonl"; then
         cell 2 "${OUTP}_2v8.jsonl"
         pairs_done=$((pairs_done + 1))
-        shape=B
       else
-        echo "[calm-r5e] W8 warmup hit the steal gate - pair skipped, re-probing"
+        echo "[calm-r5e] W8 warmup hit the steal gate - pair skipped"
       fi
+      # flip shape even on abort: the r5 storms are LOAD-triggered (idle
+      # probe calm, steal surges when 32 vCPUs light up), so a blocked
+      # 32-core W8 attempt should fall through to the 16-core W4 shape
+      # that the host can still deliver, not retry into the same wall
+      shape=B
       tail -2 "${OUTP}_2v8.jsonl" | grep -o '"workers":[0-9]*\|"validate_s":[0-9.]*\|"steal_j":[0-9]*\|"aborted":"[a-z_]*"\|"candle_[a-z]*_s":[0-9.]*' | tr '\n' ' '; echo
     else
       echo "[calm-r5e] calm - pair B: W4 then W1 (4-core)"
       if cell 4 "${OUTP}_1v4.jsonl"; then
         cell 1 "${OUTP}_1v4.jsonl"
         pairs_done=$((pairs_done + 1))
-        shape=A
       else
-        echo "[calm-r5e] W4 warmup hit the steal gate - pair skipped, re-probing"
+        echo "[calm-r5e] W4 warmup hit the steal gate - pair skipped"
       fi
+      shape=A
       tail -2 "${OUTP}_1v4.jsonl" | grep -o '"workers":[0-9]*\|"validate_s":[0-9.]*\|"steal_j":[0-9]*\|"aborted":"[a-z_]*"\|"candle_[a-z]*_s":[0-9.]*' | tr '\n' ' '; echo
     fi
   fi
