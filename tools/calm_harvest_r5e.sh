@@ -51,7 +51,7 @@ cell() { # $1 = workers, $2 = out.jsonl; returns ClusterBench's exit code
   return "$rc"
 }
 pairs_done=0
-shape=A
+shape=${START_SHAPE:-A}
 while [ "$pairs_done" -lt "$MAXPAIRS" ]; do
   if [ -e "$PAUSE" ]; then echo "[calm-r5e] paused $(date +%T)"; sleep 30; continue; fi
   S=$(steal_probe)
