@@ -44,6 +44,10 @@ object ClusterBench {
       // interpreted (default HotSpot) or stall C2 for pathological spans;
       // falling back to non-WSCG keeps every loop compiled, cheaply
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // clustered snapshots are written one-file-per-bucket sorted by
+      // clip_id; trusting that ordering lets the co-located diff join run
+      // sort-free (Spark only honors it when the file layout proves it)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.jars", jar)
       .config("spark.executor.memory", s"${memMb}m")
@@ -81,12 +85,20 @@ object ClusterBench {
         .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
+      // SPARK_GRAFT_BUCKETS > 0 (default 64): write the corpus hash-
+      // clustered by clip_id — the Iceberg bucket(clip_id, N) layout the
+      // production design assumes, which lets every validation run's diff
+      // join go exchange-free. 0 = legacy unclustered layout.
+      val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
       if (!store.exists("clips")) {
-        store.append("baseline_clips", graft.synth.ClipSynth.baseline(spark, n).toDF())
-        store.append("transcripts", graft.synth.ClipSynth.transcripts(spark, n).toDF())
-        store.append("clips", graft.synth.ClipSynth.clips(spark, n).toDF())
+        def put(table: String, df: org.apache.spark.sql.DataFrame): Unit =
+          if (buckets > 0) store.appendClustered(table, df, "clip_id", buckets)
+          else store.append(table, df)
+        put("baseline_clips", graft.synth.ClipSynth.baseline(spark, n).toDF())
+        put("transcripts", graft.synth.ClipSynth.transcripts(spark, n).toDF())
+        put("clips", graft.synth.ClipSynth.clips(spark, n).toDF())
       }
-      println(s"""{"prep":"ok","n":$n}""")
+      println(s"""{"prep":"ok","n":$n,"buckets":$buckets}""")
       spark.stop()
       return
     }

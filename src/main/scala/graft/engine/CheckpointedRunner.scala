@@ -106,6 +106,15 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
 
     val clips = store.read(spark, "clips", Some(snapshotId))
     val transcripts = store.read(spark, "transcripts")
+    // Clustered storage (Iceberg bucket-partition emulation): when the
+    // pinned clips snapshot and the baseline share a clip_id bucket layout,
+    // tell the engine so the payload diff join runs co-located instead of
+    // hinted onto a shuffle — at 10^12 rows that shuffle re-moves every
+    // multi-KB payload per run; co-located it never moves at all.
+    val cfg0 =
+      if (store.isColocated("clips", Some(snapshotId)) && store.isColocated("baseline_clips"))
+        cfg.copy(colocatedInputs = true)
+      else cfg
 
     val done = donePartitions(spark, snapshotId)
     val pv = concat(lit(cfg.partitionCol + "="),
@@ -148,9 +157,9 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
       .withColumn("snapshot_id", lit(snapshotId)).withColumn("run_id", lit(runId))
     val (report, m) = MetricsListener.capture(spark, Some(runId)) {
       val baselineStats =
-        baselineStatsFor(spark, effRules.collect { case d: Drift => d }, cfg)
+        baselineStatsFor(spark, effRules.collect { case d: Drift => d }, cfg0)
       val rep = ValidationEngine.run(spark, pending, transcripts,
-        store.read(spark, "baseline_clips"), effRules, cfg, baselineStats)
+        store.read(spark, "baseline_clips"), effRules, cfg0, baselineStats)
       outStore.append(ViolationsTable, stamp(rep.violations))
       outStore.append(VerdictsTable, stamp(rep.verdicts))
       rep

@@ -30,7 +30,15 @@ final case class EngineConfig(
       * semantically identical (byte-equal ⇒ SNR=∞), but compute-weighted
       * like a production audio-validation profile. The default hash-first
       * path is bandwidth-bound and ~an order of magnitude cheaper. */
-    fullDecodeVerify: Boolean = false)
+    fullDecodeVerify: Boolean = false,
+    /** When true, the clips/baseline/transcripts inputs are hash-clustered
+      * on clip_id into the same bucket layout (SnapshotStore.appendClustered
+      * — the Iceberg bucket-partition emulation), so the payload diff join
+      * must NOT be hinted to a shuffled hash join: an unhinted equi-join
+      * over co-bucketed sorted scans plans as a sort-merge join with no
+      * exchange and no sort — the multi-KB payloads never move. Set by
+      * CheckpointedRunner when the pinned snapshots report co-location. */
+    colocatedInputs: Boolean = false)
 
 /** verdicts(partition_values, rule_id, pass, violation_count)
   * violations(clip_id, rule_id, observed, expected)
@@ -183,9 +191,17 @@ object ValidationEngine {
     * once; partition counts sized so build chunks fit executor memory (the
     * same sizing any 100 TB deployment already does for AQE). */
   def sizeAwareJoin(left: DataFrame, right: DataFrame, usingKeys: Seq[String],
-      joinType: String, thresholdBytes: Long): DataFrame = {
+      joinType: String, thresholdBytes: Long, colocated: Boolean = false): DataFrame = {
     val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
-    val r = if (rightSize <= thresholdBytes) broadcast(right) else right.hint("shuffle_hash")
+    // Co-bucketed inputs: leave the join UNHINTED — Catalyst sees matching
+    // HashPartitioning(key, n) on both bucketed scans and plans a
+    // sort-merge join with no exchange (and, with trusted SORTED BY
+    // metadata, no sort). A shuffle_hash hint here would re-shuffle what
+    // the storage layout already co-located.
+    val r =
+      if (rightSize <= thresholdBytes) broadcast(right)
+      else if (colocated) right
+      else right.hint("shuffle_hash")
     left.join(r, usingKeys, joinType)
   }
 
@@ -360,7 +376,8 @@ object ValidationEngine {
     // hashes only, no payload) so its consumers (suspect derivation and
     // the final join) pay the exchange exactly ONCE.
     val pre = cacheHook(
-      sizeAwareJoin(cur, base, Seq("clip_id"), "left_outer", cfg.broadcastThresholdBytes)
+      sizeAwareJoin(cur, base, Seq("clip_id"), "left_outer", cfg.broadcastThresholdBytes,
+          colocated = cfg.colocatedInputs)
         .withColumn("_prelim",
           when(col("_bh1").isNull, Outcome.New)
             .when(!(col("transcript") <=> col("_bt")), Outcome.Changed)
@@ -424,7 +441,8 @@ object ValidationEngine {
       cfg: EngineConfig): DataFrame = {
     val base = baseline.select(col("clip_id"),
       col("bytes").as("_bb"), col("transcript").as("_bt"))
-    sizeAwareJoin(events, base, Seq("clip_id"), "left_outer", cfg.broadcastThresholdBytes)
+    sizeAwareJoin(events, base, Seq("clip_id"), "left_outer", cfg.broadcastThresholdBytes,
+        colocated = cfg.colocatedInputs)
       .withColumn("outcome",
         when(col("_bb").isNull, Outcome.New)
           .when(!PcmFunctions.pcm_snr_db(col("codec"), col("_bb"), col("bytes"))

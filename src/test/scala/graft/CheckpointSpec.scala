@@ -302,4 +302,83 @@ class CheckpointSpec extends AnyFunSuite {
       .orderBy("hour_start", "event_type").collect()
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("clustered store: bucketed read-back, exchange-free co-located diff join") {
+    val root = Files.createTempDirectory("graft-clustered").toString
+    val store = new SnapshotStore(s"$root/state")
+    val n = 3000L
+    val snapB =
+      store.appendClustered("baseline_clips", ClipSynth.baseline(spark, n).toDF(), "clip_id", 4)
+    val snap = store.appendClustered("clips", ClipSynth.clips(spark, n).toDF(), "clip_id", 4)
+    assert(store.clusteringOf("clips", snap).contains(("clip_id", 4)))
+    assert(store.isColocated("clips", Some(snap)) && store.isColocated("baseline_clips"))
+    assert(store.clusteringOf("baseline_clips", snapB).contains(("clip_id", 4)))
+
+    // read-back is row-identical to a plain (unclustered) append of the same data
+    val plain = new SnapshotStore(s"$root/plain")
+    plain.append("clips", ClipSynth.clips(spark, n).toDF())
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.withColumn("bytes", xxhash64(col("bytes")))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(store.read(spark, "clips")) == canon(plain.read(spark, "clips")))
+
+    // the full-decode diff join over co-located snapshots plans with NO
+    // exchange: the storage layout already co-partitioned both sides
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at test scale Spark would auto-broadcast the tiny baseline; force
+      // the join shape a 10^12-row run gets (both sides too big to ship)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.engine.ValidationEngine.classifyAgainstBaseline(
+        store.read(spark, "clips"), store.read(spark, "baseline_clips"),
+        EngineConfig(fullDecodeVerify = true, colocatedInputs = true,
+          broadcastThresholdBytes = 1))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"co-located diff join must not shuffle:\n$plan")
+      assert(joined.count() == store.read(spark, "clips").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+
+    // a second (plain) append demotes the table to the union read path
+    import spark.implicits._
+    val before = store.read(spark, "clips").count()
+    store.append("clips", Seq(("zz", Array[Byte](1), 16000, 10, "pcm_s16le", "t"))
+      .toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"))
+    assert(!store.isColocated("clips"))
+    assert(store.read(spark, "clips").count() == before + 1)
+  }
+
+  test("runResumable: clustered corpus yields outcomes identical to unclustered") {
+    val n = 2500L
+    def outputs(clustered: Boolean): (Seq[String], Seq[String]) = {
+      val root = Files.createTempDirectory(s"graft-coloc-$clustered").toString
+      val store = new SnapshotStore(s"$root/state")
+      val out = new SnapshotStore(s"$root/out")
+      def put(t: String, df: org.apache.spark.sql.DataFrame): Long =
+        if (clustered) store.appendClustered(t, df, "clip_id", 4) else store.append(t, df)
+      put("baseline_clips", ClipSynth.baseline(spark, n).toDF())
+      put("transcripts", ClipSynth.transcripts(spark, n).toDF())
+      val snap = put("clips", ClipSynth.clips(spark, n).toDF())
+      val runner = new CheckpointedRunner(store, out)
+      runner.runResumable(spark, snap, Rule.standardPack,
+        EngineConfig(saltBuckets = 4, fullDecodeVerify = true))
+      // KLL quantile sketches are insertion-order-sensitive, so the KS
+      // *estimate* legitimately wiggles in the 3rd decimal across storage
+      // layouts (partitioning = insertion grouping); the drift verdict must
+      // still agree, so only the numeric detail is normalized here.
+      val v = runner.committedOutput(spark, runner.ViolationsTable)
+        .withColumn("observed",
+          when(col("rule_id").startsWith("drift:"), lit("drifted")).otherwise(col("observed")))
+        .select("clip_id", "rule_id", "observed", "expected")
+        .collect().map(_.toString).sorted.toSeq
+      val g = runner.committedOutput(spark, runner.VerdictsTable)
+        .select("partition_values", "rule_id", "pass", "violation_count")
+        .collect().map(_.toString).sorted.toSeq
+      (v, g)
+    }
+    val (vc, gc) = outputs(clustered = true)
+    val (vp, gp) = outputs(clustered = false)
+    assert(vc == vp, "violations must not depend on the storage layout")
+    assert(gc == gp, "verdicts must not depend on the storage layout")
+    assert(vc.nonEmpty && gc.nonEmpty)
+  }
 }

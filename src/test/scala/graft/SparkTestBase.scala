@@ -12,6 +12,8 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
+      // trust one-file-per-bucket SORTED BY metadata (clustered snapshots)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.driver.host", "localhost")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
