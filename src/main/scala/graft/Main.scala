@@ -24,6 +24,9 @@ object Main {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // clustered snapshots are one-file-per-bucket sorted by clip_id;
+      // trusting that lets the co-located diff join plan sort-free
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIR", "/dev/shm/spark-local"))
       .getOrCreate()
@@ -38,11 +41,18 @@ object Main {
     val outStore = new SnapshotStore(s"$workDir/out")
 
     // snapshot 0 = baseline-ish tables; clips appended as snapshot-pinned input
+    // SPARK_GRAFT_BUCKETS > 0 (default 64): hash-cluster the corpus by
+    // clip_id (Iceberg bucket-partition emulation) so the payload diff join
+    // runs exchange-free; 0 = legacy unclustered layout.
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
     if (!store.exists("clips")) {
-      println(s"[main] synthesizing corpus n=$n under $workDir ...")
-      store.append("baseline_clips", ClipSynth.baseline(spark, n).toDF())
-      store.append("transcripts", ClipSynth.transcripts(spark, n).toDF())
-      store.append("clips", ClipSynth.clips(spark, n).toDF())
+      println(s"[main] synthesizing corpus n=$n under $workDir (buckets=$buckets) ...")
+      def put(t: String, df: org.apache.spark.sql.DataFrame): Unit =
+        if (buckets > 0) store.appendClustered(t, df, "clip_id", buckets)
+        else store.append(t, df)
+      put("baseline_clips", ClipSynth.baseline(spark, n).toDF())
+      put("transcripts", ClipSynth.transcripts(spark, n).toDF())
+      put("clips", ClipSynth.clips(spark, n).toDF())
     } else println(s"[main] reusing corpus under $workDir")
 
     val snapshotId = store.currentSnapshotId("clips").get
