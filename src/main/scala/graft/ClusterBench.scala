@@ -106,6 +106,15 @@ object ClusterBench {
     val workers = mode.toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val spark = session(workers, memMb)
+    // SPARK_GRAFT_SETTLE_S: force every executor JVM fully up (including
+    // -XX:+AlwaysPreTouch heap faulting) and let the host's load-triggered
+    // steal echo decay BEFORE the warmup storm gate samples it — the
+    // pretouch burst belongs to executor launch, not the measured regime.
+    sys.env.get("SPARK_GRAFT_SETTLE_S").map(_.toInt).filter(_ > 0).foreach { s =>
+      spark.range(workers.toLong * coresPerExec * 4)
+        .repartition(workers * coresPerExec * 4).count()
+      Thread.sleep(s * 1000L)
+    }
     val snapshotId = store.currentSnapshotId("clips").get
     val cfg = EngineConfig(fullDecodeVerify = profile == "full")
 

@@ -195,6 +195,68 @@ object Audio {
     * SNR ≥ 30 dB. */
   def pcmAllclose(codec: String, a: Array[Byte], b: Array[Byte], minSnrDb: Double = 30.0): Boolean = {
     if (java.util.Arrays.equals(a, b)) true // fast path, no decode
-    else snrDb(decode(codec, a), decode(codec, b)) >= minSnrDb
+    else snrDbCoded(codec, a, b) >= minSnrDb
   }
+
+  // ------------------------------------------- fused decode+SNR (zero-alloc)
+
+  // 256-entry decode tables, built once from the same G.711 bit math —
+  // the fused loops below are sample-for-sample identical to
+  // snrDb(decode(codec, a), decode(codec, b)).
+  private val UlawTable: Array[Short] = Array.tabulate(256)(i => ulawToLinear(i.toByte))
+  private val AlawTable: Array[Short] = Array.tabulate(256)(i => alawToLinear(i.toByte))
+
+  /** SNR computed directly from the CODED payloads: per-sample decode is
+    * fused into the accumulation loop, so the hot engine path (millions of
+    * multi-KB comparisons per task) allocates NOTHING per row. The
+    * array-materializing decode+snrDb pair cost two transient PCM buffers
+    * per comparison — at 16+ concurrent tasks per box that allocation/GC
+    * traffic was the largest single memory-bandwidth consumer in the
+    * full-decode profile (measured r5: the diff-join stage's GC+stall time
+    * exceeded its compute). Identical math, same length-mismatch
+    * semantics (missing tail counts as pure error). */
+  def snrDbCoded(codec: String, ref: Array[Byte], test: Array[Byte]): Double = codec match {
+    case "pcm_s16le" => snrPcm16(ref, test)
+    case "ulaw" => snrTable(UlawTable, ref, test)
+    case "alaw" => snrTable(AlawTable, ref, test)
+    case other => throw new IllegalArgumentException(s"unknown codec: $other")
+  }
+
+  private def snrTable(t: Array[Short], ref: Array[Byte], test: Array[Byte]): Double = {
+    val n = math.max(ref.length, test.length)
+    var sig = 0.0; var err = 0.0; var i = 0
+    while (i < n) {
+      val r = if (i < ref.length) t(ref(i) & 0xFF).toDouble else 0.0
+      val v = if (i < test.length) t(test(i) & 0xFF).toDouble else 0.0
+      sig += r * r
+      val d = r - v
+      err += d * d
+      i += 1
+    }
+    finishSnr(sig, err)
+  }
+
+  private def snrPcm16(ref: Array[Byte], test: Array[Byte]): Double = {
+    val nr = ref.length / 2; val nt = test.length / 2
+    val n = math.max(nr, nt)
+    var sig = 0.0; var err = 0.0; var i = 0
+    while (i < n) {
+      val r =
+        if (i < nr) (((ref(2 * i + 1) & 0xFF) << 8) | (ref(2 * i) & 0xFF)).toShort.toDouble
+        else 0.0
+      val v =
+        if (i < nt) (((test(2 * i + 1) & 0xFF) << 8) | (test(2 * i) & 0xFF)).toShort.toDouble
+        else 0.0
+      sig += r * r
+      val d = r - v
+      err += d * d
+      i += 1
+    }
+    finishSnr(sig, err)
+  }
+
+  @inline private def finishSnr(sig: Double, err: Double): Double =
+    if (err == 0.0) Double.PositiveInfinity
+    else if (sig == 0.0) Double.NegativeInfinity
+    else 10.0 * math.log10(sig / err)
 }

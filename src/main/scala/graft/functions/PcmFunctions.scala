@@ -33,7 +33,8 @@ case class PcmSnr(codec: Expression, ref: Expression, test: Expression)
     val codecStr = c.asInstanceOf[UTF8String].toString
     val ra = a.asInstanceOf[Array[Byte]]
     val rb = b.asInstanceOf[Array[Byte]]
-    Audio.snrDb(Audio.decode(codecStr, ra), Audio.decode(codecStr, rb))
+    // fused per-sample decode: zero allocation on the per-row hot path
+    Audio.snrDbCoded(codecStr, ra, rb)
   }
 
   override protected def withNewChildrenInternal(
@@ -58,7 +59,7 @@ case class PcmAllclose(codec: Expression, ref: Expression, test: Expression, min
     if (java.util.Arrays.equals(ra, rb)) true
     else {
       val codecStr = c.asInstanceOf[UTF8String].toString
-      Audio.snrDb(Audio.decode(codecStr, ra), Audio.decode(codecStr, rb)) >= minSnrDb
+      Audio.snrDbCoded(codecStr, ra, rb) >= minSnrDb
     }
   }
 

@@ -61,4 +61,22 @@ class AudioSpec extends AnyFunSuite {
     val enc = Audio.encode("pcm_s16le", pcm)
     assert(!Audio.pcmAllclose("pcm_s16le", enc, enc.take(1000)))
   }
+
+  test("fused snrDbCoded is bit-identical to snrDb over materialized decodes") {
+    for {
+      codec <- Audio.Codecs
+      seed <- Seq(1L, 42L, 987654321L)
+      (nA, nB) <- Seq((512, 512), (512, 300), (300, 512), (0, 64), (64, 0), (7, 7))
+    } {
+      val a = Audio.encode(codec, Audio.synthPcm(seed, nA, 8000))
+      val bRaw = Audio.encode(codec, Audio.synthPcm(seed + 1, nB, 8000))
+      // also exercise odd byte lengths for pcm_s16le (truncated payload)
+      val b = if (codec == "pcm_s16le" && nB > 0) bRaw.dropRight(1) else bRaw
+      val fused = Audio.snrDbCoded(codec, a, b)
+      val materialized = Audio.snrDb(Audio.decode(codec, a), Audio.decode(codec, b))
+      assert(fused == materialized || (fused.isNaN && materialized.isNaN),
+        s"codec=$codec seed=$seed nA=$nA nB=$nB: $fused != $materialized")
+      assert(Audio.snrDbCoded(codec, a, a).isPosInfinity)
+    }
+  }
 }

@@ -41,7 +41,8 @@ cell() { # $1 = workers, $2 = out.jsonl; returns ClusterBench's exit code
   SPARK_GRAFT_WARMUP_DIR="$WARMUP" SPARK_GRAFT_STAGEDUMP=1 \
   SPARK_GRAFT_ABORT_STEAL_J=${ABORT_J:-400} \
   SPARK_GRAFT_PASSES=1 SPARK_GRAFT_PARTS=32 SPARK_GRAFT_EXEC_CORES=$CORES \
-  SPARK_GRAFT_EXEC_OPTS="-XX:ActiveProcessorCount=$CORES -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=256m" \
+  SPARK_GRAFT_SETTLE_S=${SETTLE:-15} \
+  SPARK_GRAFT_EXEC_OPTS="-XX:ActiveProcessorCount=$CORES -Xms${MEM}m -XX:+AlwaysPreTouch -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=256m" \
   java $AO -Xmx8g -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m \
     -Dspark.ui.enabled=false -cp "$JAR:/opt/spark/jars/*" \
     graft.ClusterBench "$1" "$N" "$WORK" full "$MEM" 2>>"$2.err" \
