@@ -137,6 +137,30 @@ object ClusterBench {
     // the diagnostic view for "where does W8 burn 2x the task CPU of W2"
     if (sys.env.get("SPARK_GRAFT_STAGEDUMP").contains("1")) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        // Job timeline: `gap` is wall time from the previous job's end to
+        // this job's submission — the DRIVER-SERIAL term (planning, collect
+        // processing, commit protocol) that caps scaling efficiency. The
+        // sum of gaps + sum of (dur of jobs whose stages have ≲cores tasks)
+        // is the measured S in T(W) = S + P/cores(W).
+        private val epochNs = System.nanoTime()
+        @volatile private var lastJobEndNs = epochNs
+        private val jobSubmitNs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val now = System.nanoTime()
+          jobSubmitNs.put(e.jobId, now)
+          val what = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))
+              .orElse(Option(p.getProperty("callSite.short")))).getOrElse("?")
+          System.err.println(f"[job] id=${e.jobId}%4d start=+${(now - epochNs) / 1e9}%8.2fs " +
+            f"gap=${math.max(0L, now - lastJobEndNs) / 1e9}%6.3fs stages=${e.stageIds.size}%d " +
+            f"what=$what%s")
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val now = System.nanoTime()
+          lastJobEndNs = now
+          val dur = Option(jobSubmitNs.remove(e.jobId)).map(s => (now - s) / 1e9).getOrElse(-1.0)
+          System.err.println(f"[job] id=${e.jobId}%4d end=+${(now - epochNs) / 1e9}%8.2fs dur=$dur%6.3fs")
+        }
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = e.stageInfo; val m = si.taskMetrics

@@ -514,6 +514,7 @@ object ValidationEngine {
         // ExecutionContext threads are REUSED — clear in finally or a later
         // caller's action on this thread inherits a stale group
         jobGroup.foreach(g => spark.sparkContext.setJobGroup(g, s"graft run $g", false))
+        spark.sparkContext.setJobDescription("graft:pcm-counts")
         try branchCounts(u)
         finally jobGroup.foreach(_ => spark.sparkContext.clearJobGroup())
       }
@@ -529,8 +530,12 @@ object ValidationEngine {
     // the stats cache, and its rows are needed driver-side anyway (verdict
     // thresholds + the partition-value ordinal domain). Replaces the
     // separate count() populate job of earlier rounds.
-    val statsByPv: Map[String, org.apache.spark.sql.Row] =
-      stats.collect().map(r => r.getAs[String](PV) -> r).toMap
+    val statsByPv: Map[String, org.apache.spark.sql.Row] = {
+      val prev = spark.sparkContext.getLocalProperty("spark.job.description")
+      spark.sparkContext.setJobDescription("graft:stats-collect")
+      try stats.collect().map(r => r.getAs[String](PV) -> r).toMap
+      finally spark.sparkContext.setJobDescription(prev)
+    }
     // lexicographic ranks over the (metadata-scale) partition-value domain;
     // lets min-PV attribution run as a fixed-width min(ordinal) aggregate
     val pvOrdinals: Map[String, Int] =
@@ -589,7 +594,12 @@ object ValidationEngine {
     // the distributed formulation it replaces cost ~7 tiny AQE-scheduled
     // exchange/broadcast stages of pure driver latency per run — a direct
     // bite out of the serial term that caps small-corpus scaling.
-    val metaCounts = metaUnion.map(branchCounts).getOrElse(Map.empty)
+    val metaCounts = {
+      val prev = spark.sparkContext.getLocalProperty("spark.job.description")
+      spark.sparkContext.setJobDescription("graft:meta-counts")
+      try metaUnion.map(branchCounts).getOrElse(Map.empty)
+      finally spark.sparkContext.setJobDescription(prev)
+    }
     val pcmCounts = Await.result(pcmCountsF, scala.concurrent.duration.Duration.Inf)
     val vCounts: Map[(String, String), Long] =
       (metaCounts.toSeq ++ pcmCounts.toSeq).groupMapReduce(_._1)(_._2)(_ + _)

@@ -22,7 +22,7 @@ cell() {
   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 SPARK_LOCAL_DIRS=/dev/shm/spark-local \
   SPARK_GRAFT_WARMUP_DIR="$WARMUP" SPARK_GRAFT_STAGEDUMP=1 \
   SPARK_GRAFT_ABORT_STEAL_J=${ABORT_J:-400} \
-  SPARK_GRAFT_PASSES=1 SPARK_GRAFT_PARTS=32 SPARK_GRAFT_EXEC_CORES=$CORES \
+  SPARK_GRAFT_PASSES=${PASSES:-1} SPARK_GRAFT_PARTS=32 SPARK_GRAFT_EXEC_CORES=$CORES \
   SPARK_GRAFT_SETTLE_S=${SETTLE:-15} \
   SPARK_GRAFT_EXEC_OPTS="-XX:ActiveProcessorCount=$CORES -Xms${MEM}m -XX:+AlwaysPreTouch -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=256m" \
   java $AO -Xmx8g -XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m \
