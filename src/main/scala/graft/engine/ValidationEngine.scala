@@ -144,6 +144,22 @@ object ValidationEngine {
   def dedupEventsMeta(clips: DataFrame): DataFrame =
     dedupByFingerprint(clips.select(col("*") +: fpCols: _*).drop("bytes"), keepFp = true)
 
+  /** [[dedupEventsMeta]] over a pre-hashed narrow frame (meta columns +
+    * the `_h1`/`_h2` 128-bit payload-hash lanes): the full-row fingerprint
+    * hashes the payload LANES instead of re-reading the multi-KB bytes, so
+    * the dedup costs no payload scan at all. Same dedup equivalence classes
+    * as the bytes-covering fingerprint — rows identical in every column
+    * (payload included) get equal fingerprints, differing rows collide only
+    * in the same 128-bit class the engine already accepts. */
+  private def dedupHashedMeta(hm: DataFrame): DataFrame = {
+    val cs = hm.columns.map(col).toSeq
+    val fp = Seq(
+      xxhash64((lit(1) +: cs): _*).as("_fp1"),
+      xxhash64((lit(2) +: cs): _*).as("_fp2"))
+    dedupByFingerprint(hm.select(cs ++ fp: _*), keepFp = true)
+      .drop("_h1", "_h2")
+  }
+
   /** The fused per-partition stats pass: one salted two-phase aggregation
     * for ALL stats rules. Returns one row per partition value with a column
     * per statistic. */
@@ -359,16 +375,18 @@ object ValidationEngine {
     * SNR ≥ 30 dB allclose. AQE turns the suspect joins into broadcasts at
     * runtime when the suspect set is small. */
   def classifyAgainstBaseline(events: DataFrame, baseline: DataFrame, cfg: EngineConfig,
-      cacheHook: DataFrame => DataFrame = identity, keepHashes: Boolean = false): DataFrame = {
+      cacheHook: DataFrame => DataFrame = identity, keepHashes: Boolean = false,
+      hashedCur: Option[DataFrame] = None): DataFrame = {
     if (cfg.fullDecodeVerify) return classifyFullDecode(events, baseline, cfg)
     def h(c: Column, lane: Int): Column = xxhash64(lit(lane), c)
-    // the hash projections are each consumed exactly ONCE (by the diff
-    // join) — not cached: r4 measurement showed the columnar cache build
-    // costs more than a single consumer ever recovers. Suspect payloads
-    // are re-fetched from the raw tables below, not from here.
-    val cur = events
+    // cur side: either the shared pre-hashed narrow frame (run() computes
+    // it in ONE payload scan that also feeds the dedup fingerprint), or an
+    // inline hash projection consumed exactly ONCE by the diff join.
+    // Suspect payloads are re-fetched from the raw tables below, not from
+    // here.
+    val cur = hashedCur.getOrElse(events
       .withColumn("_h1", h(col("bytes"), 3)).withColumn("_h2", h(col("bytes"), 4))
-      .drop("bytes")
+      .drop("bytes"))
     val base = baseline.select(col("clip_id"),
       h(col("bytes"), 3).as("_bh1"), h(col("bytes"), 4).as("_bh2"),
       col("transcript").as("_bt"))
@@ -419,13 +437,14 @@ object ValidationEngine {
     * multi-KB payloads is needed (r3 hashed every payload twice more for
     * exactly this dedup). */
   private def pcmViolations(rawClips: DataFrame, baseline: DataFrame, rule: PcmEquality,
-      cfg: EngineConfig, cacheHook: DataFrame => DataFrame): DataFrame = {
+      cfg: EngineConfig, cacheHook: DataFrame => DataFrame,
+      hashedCur: Option[DataFrame] = None): DataFrame = {
     val metaCols = rawClips.columns.filterNot(_ == "bytes").toSeq
     val dedupKey =
       if (cfg.fullDecodeVerify) metaCols :+ "bytes"
       else metaCols ++ Seq("_h1", "_h2")
     classifyAgainstBaseline(rawClips, baseline,
-        cfg.copy(minSnrDb = rule.minSnrDb), cacheHook, keepHashes = true)
+        cfg.copy(minSnrDb = rule.minSnrDb), cacheHook, keepHashes = true, hashedCur)
       .filter(col("outcome") =!= Outcome.Unchanged)
       .dropDuplicates(dedupKey)
       .select(col("clip_id"), lit(rule.ruleId).as("rule_id"),
@@ -489,14 +508,38 @@ object ValidationEngine {
       if (!cfg.persistEvents) identity
       else df => { val p = df.persist(); extraCaches += p; p }
 
-    // ---- the pcm branch reads ONLY the raw clips + baseline tables —
-    // nothing it needs waits on the dedup/stats caches — so its (dominant)
-    // evaluation is launched concurrently below while this thread populates
-    // the metadata caches and evaluates the metadata branches: branch-level
-    // pipelining that hides the whole metadata chain behind the payload
-    // diff join.
+    // ---- ONE payload scan for the whole run (hash-first mode): the
+    // 128-bit payload-hash lanes computed here feed BOTH the pcm diff
+    // join's cur side and the metadata dedup fingerprint, which previously
+    // each scanned + hashed every multi-KB payload themselves — the single
+    // heaviest duplicated work in the run. Materialized SYNCHRONOUSLY
+    // (one count job) before the branch fan-out: the pcm future and the
+    // meta chain would otherwise race the cold cache and both compute the
+    // scan. Requires the cache (persistEvents) — without it the shared
+    // frame would be recomputed per consumer, which is exactly the old
+    // plan but with an extra count.
+    val payloadHash: Option[DataFrame] =
+      if (cfg.fullDecodeVerify || !cfg.persistEvents) None
+      else Some {
+        val metaCols = clips.columns.filterNot(_ == "bytes").map(col).toSeq
+        val hm = cacheHook(clips.select(metaCols ++ Seq(
+          xxhash64(lit(3), col("bytes")).as("_h1"),
+          xxhash64(lit(4), col("bytes")).as("_h2")): _*))
+        val prev = spark.sparkContext.getLocalProperty("spark.job.description")
+        spark.sparkContext.setJobDescription("graft:payload-hash-scan")
+        try hm.count() finally spark.sparkContext.setJobDescription(prev)
+        hm
+      }
+
+    // ---- the pcm branch reads ONLY the shared payload-hash frame (or, in
+    // full-decode mode, the raw clips) + baseline tables — nothing it needs
+    // waits on the dedup/stats caches — so its (dominant) evaluation is
+    // launched concurrently below while this thread populates the metadata
+    // caches and evaluates the metadata branches: branch-level pipelining
+    // that hides the whole metadata chain behind the payload diff join.
     val pcmBranches: Seq[DataFrame] =
-      rules.collect { case p: PcmEquality => pcmViolations(clips, baselineDf, p, cfg, cacheHook) }
+      rules.collect { case p: PcmEquality =>
+        pcmViolations(clips, baselineDf, p, cfg, cacheHook, payloadHash) }
     val pcmUnion = pcmBranches.reduceOption(_ unionByName _).map(df => df.persist())
     def branchCounts(df: DataFrame): Map[(String, String), Long] = df
       .groupBy(col(PV), col("rule_id")).agg(count(lit(1)).as("violation_count"))
@@ -511,16 +554,21 @@ object ValidationEngine {
       case None => Future.successful(Map.empty)
       case Some(u) => Future {
         // the tag lives in the pooled thread's local properties, and global
-        // ExecutionContext threads are REUSED — clear in finally or a later
-        // caller's action on this thread inherits a stale group
+        // ExecutionContext threads are REUSED — clear in finally (job group
+        // AND description) or a later caller's action on this thread
+        // inherits a stale label
+        val prevDesc = spark.sparkContext.getLocalProperty("spark.job.description")
         jobGroup.foreach(g => spark.sparkContext.setJobGroup(g, s"graft run $g", false))
         spark.sparkContext.setJobDescription("graft:pcm-counts")
         try branchCounts(u)
-        finally jobGroup.foreach(_ => spark.sparkContext.clearJobGroup())
+        finally {
+          jobGroup.foreach(_ => spark.sparkContext.clearJobGroup())
+          spark.sparkContext.setJobDescription(prevDesc)
+        }
       }
     }
 
-    val eventsMeta0 = dedupEventsMeta(clips)
+    val eventsMeta0 = payloadHash.map(dedupHashedMeta).getOrElse(dedupEventsMeta(clips))
     val eventsMeta = if (cfg.persistEvents) eventsMeta0.persist() else eventsMeta0
 
     val stats = statsPass(eventsMeta, rules, cfg).persist() // rows = #partitions (tiny)

@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
   * encoding would bloat the plan by megabytes). */
 object AnnOps {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  import org.apache.spark.sql.graft.VectorExpressions.array_dot
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+  /** Dot product as ONE native primitive loop ([[ArrayDot]]) — bit-identical
+    * to the `aggregate(zip_with(...))` fold it replaces (same element order,
+    * same double arithmetic, same null semantics) but without the per-pair
+    * interpreted-lambda/boxing cost of higher-order functions, which
+    * dominated the candidate-verification joins. */
+  def dot(a: Column, b: Column): Column = array_dot(a, b)
+
+  def norm(a: Column): Column = sqrt(array_dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
     val ad = transform(a, _.cast("double"))
@@ -166,20 +171,36 @@ object AnnOps {
   /** Candidate-pair generation stage of [[embeddingNearDupPairs]] (banded
     * sign-bucket collisions, a < b, distinct). Exposed standalone so the
     * candidate set can be exported and the verification stage re-checked
-    * independently (e.g. by a SQL oracle over the same materialized set). */
+    * independently (e.g. by a SQL oracle over the same materialized set).
+    *
+    * Hot-bucket bound (100 TB guard, the simHash128 pattern): a sign bucket
+    * holding more than `maxBucketSize` vectors — a degenerate corpus of
+    * ~identical embeddings would drive one bucket to O(bucket²) pairs — is
+    * EXCLUDED from the pair join and surfaced as ONE deterministic
+    * `a == b == min(member id)` marker row, impossible for a real candidate
+    * (a < b). The marker stays visible through exact verification (a
+    * self-pair verifies at cosine 1.0); pairs the oversized bucket would
+    * have found usually survive via their other bands. */
   def embeddingNearDupCandidates(vectors: DataFrame, dim: Int,
       p: Int = 4, bands: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 10000): DataFrame = {
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"), lshBucket(col(vecCol), dim, p, seed = 42L + b).as("h")))
+    val bucketKey = Seq(col("_band"), col("_h"))
     val buckets = vectors
       .select(col(idCol).as("_id"), explode(array(bandCols: _*)).as("_b"))
       .select(col("_id"), col("_b.band").as("_band"), col("_b.h").as("_h"))
-    buckets.as("x").join(buckets.as("y"),
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(bucketKey: _*)))
+      .withColumn("_bmin", min(col("_id")).over(Window.partitionBy(bucketKey: _*)))
+    val ok = buckets.filter(col("_bn") <= maxBucketSize)
+    val pairs = ok.as("x").join(ok.as("y"),
         col("x._band") === col("y._band") && col("x._h") === col("y._h") &&
           col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"))
-      .distinct()
+    val markers = buckets.filter(col("_bn") > maxBucketSize)
+      .select(col("_bmin").as("a"), col("_bmin").as("b"))
+    pairs.unionByName(markers).distinct()
   }
 
   /** Exact-cosine verification of a candidate-pair set (a, b): vectors

@@ -57,11 +57,20 @@ object DedupOps {
     spread(docs, idCol).select(col(idCol).as("_id"),
       explode(array_distinct(TextOps.shingles(col(textCol), n))).as("_s"))
 
-  /** Per-doc sorted distinct shingle set + its size (the verification-side
-    * projection: one row per document, set rides as an array). */
+  /** Per-doc distinct shingle set + its size (the verification-side
+    * projection: one row per document, set rides as an array). The set is
+    * deliberately NOT sorted: every consumer either sizes an
+    * `array_intersect` (order-insensitive) or explodes the set — the former
+    * per-doc `array_sort` was a pure-waste O(m log m) string sort per row. */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // the coalesce makes `_set` (and so `_n`) provably NON-NULL: without
+    // it, constraint inference derives an `isnotnull(_n)` filter from the
+    // downstream join conditions and pushes it below the spread exchange,
+    // re-evaluating the whole tokenize+shingle expression once more per row
+    // on the pre-exchange side (observed in the q16 plan)
     spread(docs, idCol).select(col(idCol).as("_id"),
-        array_sort(array_distinct(TextOps.shingles(col(textCol), n))).as("_set"))
+        coalesce(array_distinct(TextOps.shingles(col(textCol), n)),
+          array().cast("array<string>")).as("_set"))
       .withColumn("_n", size(col("_set")))
 
   /** Exact verification of candidate pairs (a, b): join each side's shingle
@@ -103,14 +112,20 @@ object DedupOps {
       .select(col("_n"), sort_array(col("_g.ids")).as("_ids"),
         col("_g.n").as("_cn"), col("_min"))
       .filter(col("_cn") > 1)
-    val pairs = groups.filter(col("_cn") <= maxClusterSize)
-      .select(col("_n"), col("_ids"), posexplode(col("_ids")).as(Seq("_i", "a")))
+    // ONE subtree for both outcomes: a normal cluster enumerates its pairs,
+    // an oversized one collapses to the single (min, min, -size) marker via
+    // the same two generates. The former pairs/tooLarge UNION referenced
+    // `groups` twice, and (the filters differing) nothing was reusable — the
+    // whole scan + fingerprint + capped-collect aggregation ran TWICE per
+    // query (measured in the q15 plan: two full ObjectHashAggregate chains).
+    val ok = col("_cn") <= maxClusterSize
+    groups
+      .select(col("_n"), col("_ids"), col("_cn"), col("_min"),
+        posexplode(when(ok, col("_ids")).otherwise(array(col("_min")))).as(Seq("_i", "a")))
       .select(col("a"),
-        explode(slice(col("_ids"), col("_i") + lit(2), size(col("_ids")))).as("b"),
-        col("_n").cast("long").as("inter"))
-    val tooLarge = groups.filter(col("_cn") > maxClusterSize)
-      .select(col("_min").as("a"), col("_min").as("b"), (-col("_cn")).cast("long").as("inter"))
-    pairs.unionByName(tooLarge)
+        explode(when(ok, slice(col("_ids"), col("_i") + lit(2), size(col("_ids"))))
+          .otherwise(array(col("_min")))).as("b"),
+        when(ok, col("_n").cast("long")).otherwise(-col("_cn")).as("inter"))
   }
 
   /** Identical-token-set duplicate pairs (whitespace tokens, n = 1).
@@ -205,9 +220,31 @@ object DedupOps {
   private def countingJaccardPairs(docs: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
+    // Two deliberate choices versus the straightforward string-shingle
+    // explode + self-join, both aimed at the exchanges this plan lives in:
+    //
+    //  1. the join/shuffle key is xxhash64(shingle) — 8 bytes instead of a
+    //     ~20-byte string, with long (not string) hashing and comparison at
+    //     every exchange, build and probe. Shingles are distinct per doc
+    //     pre-hash, so `inter = count` still holds unless two DISTINCT
+    //     shingles of a co-occurring doc pair collide in 64 bits
+    //     (P ≈ m²/2^64 per pair — the same collision class the engine's own
+    //     128-bit dedup fingerprints accept at a far larger m);
+    //  2. `explode_outer`, not `explode`: the non-outer generate injects a
+    //     `size(...) > 0` filter that Catalyst pushes below the spread
+    //     exchange, re-evaluating the whole tokenize+shingle expression on
+    //     the pre-exchange side (measured in the r5 q16 plan: the filter
+    //     recomputed shingles 3× per row below the Exchange). The outer
+    //     generate emits one null row per empty doc instead, which the
+    //     equi-join drops for free.
+    //
+    // Both self-join branches are hinted to a shuffled hash join so each
+    // ends in the IDENTICAL Exchange(hashpartitioning(_s)) — ReuseExchange
+    // computes the shingle projection once and replays it (the unhinted
+    // plan broadcast one branch, duplicating the whole projection).
     val dtn = sets.select(col("_id"), col("_n").cast("long").as("_n"),
-      explode(col("_set")).as("_s"))
-    dtn.as("x").join(dtn.as("y"),
+      explode_outer(transform(col("_set"), s => xxhash64(s))).as("_s"))
+    dtn.as("x").hint("shuffle_hash").join(dtn.as("y").hint("shuffle_hash"),
         col("x._s") === col("y._s") && col("x._id") < col("y._id") &&
           col("x._n").cast("double") >= lit(threshold) * col("y._n") &&
           col("y._n").cast("double") >= lit(threshold) * col("x._n"))
@@ -230,21 +267,43 @@ object DedupOps {
 
   /** LSH candidate pairs: band the k-lane signature into `bands` groups of
     * k/bands rows, bucket-join on (band index, band hash). Identical-band
-    * docs collide; distinct pairs only (a < b). */
-  def lshCandidatePairs(signatures: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    * docs collide; distinct pairs only (a < b).
+    *
+    * Hot-bucket bound (100 TB guard, same pattern as
+    * [[simHash128PairsFromSigs]]): a bucket holding more than
+    * `maxBucketSize` members — a degenerate corpus where ~every doc shares
+    * one band hash would otherwise drive the self-join to O(bucket²) pairs —
+    * is EXCLUDED from the pair join and surfaced as ONE deterministic marker
+    * row `a == b == min(member id)`, impossible for a real candidate (which
+    * always has a < b). Downstream exact verification keeps the marker
+    * visible: the self-pair verifies at jaccard 1.0 and emits as an `a == b`
+    * row consumers can alert on. Pairs an oversized bucket would have found
+    * usually survive via their other bands; only the candidate-recall of
+    * marked buckets is narrowed, visibly. */
+  def lshCandidatePairs(signatures: DataFrame, k: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         xxhash64((bnd * rows until (bnd + 1) * rows).map(i => col(s"_mh$i")): _*).as("h"))
     }
+    // bucket membership count via ONE window pass over the (band, hash)
+    // shuffle both join branches need anyway; identical in both branches,
+    // so ReuseExchange evaluates it once
+    val bucketKey = Seq(col("_band"), col("_h"))
     val buckets = signatures
       .select(col("_id"), explode(array(bandCols: _*)).as("_b"))
       .select(col("_id"), col("_b.band").as("_band"), col("_b.h").as("_h"))
-    buckets.as("x").join(buckets.as("y"),
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(bucketKey: _*)))
+      .withColumn("_bmin", min(col("_id")).over(Window.partitionBy(bucketKey: _*)))
+    val ok = buckets.filter(col("_bn") <= maxBucketSize)
+    val pairs = ok.as("x").join(ok.as("y"),
         col("x._band") === col("y._band") && col("x._h") === col("y._h") &&
           col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"))
-      .distinct()
+    val markers = buckets.filter(col("_bn") > maxBucketSize)
+      .select(col("_bmin").as("a"), col("_bmin").as("b"))
+    pairs.unionByName(markers).distinct()
   }
 
   /** Exact Jaccard verification of an externally-supplied candidate-pair
@@ -253,10 +312,26 @@ object DedupOps {
     * candidate set can be exported and the verification independently
     * re-checked (e.g. by a SQL oracle over the same materialized pairs). */
   def verifiedJaccardPairs(cands: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double): DataFrame =
-    verifyJaccard(cands.select(col("a"), col("b")), shingleSets(docs, idCol, textCol, n), threshold)
+      textCol: String, n: Int, threshold: Double,
+      pruneDocs: Boolean = true): DataFrame = {
+    val pairs = cands.select(col("a"), col("b"))
+    // The candidate set is normally ≪ the corpus (LSH found few collisions),
+    // but the verification side used to tokenize + shingle EVERY document on
+    // both join branches. Semi-join pruning the docs to ids that appear in
+    // some candidate pair bounds the shingle projection by O(|cands|)
+    // instead of O(|docs|) — the inner verify join drops the other docs
+    // anyway, so the result is unchanged. `pruneDocs = false` opts out for
+    // callers whose `cands` is an expensive unmaterialized plan (the
+    // prefilter would evaluate it twice).
+    val verifyDocs =
+      if (!pruneDocs) docs
+      else docs.join(
+        pairs.select(explode(array(col("a"), col("b"))).as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+    verifyJaccard(pairs, shingleSets(verifyDocs, idCol, textCol, n), threshold)
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard"))
+  }
 
   /** MinHash+LSH near-dup pairs, exactly verified: candidates from the
     * banded buckets, true Jaccard computed ONLY for candidates with one
@@ -265,7 +340,10 @@ object DedupOps {
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.2): DataFrame = {
     val sigs = minHashSignatures(docs, idCol, textCol, n, k)
     val cands = lshCandidatePairs(sigs, k, bands)
-    verifiedJaccardPairs(cands, docs, idCol, textCol, n, threshold)
+    // pruneDocs would re-evaluate the (unmaterialized) LSH candidate plan a
+    // second time just to derive the id set — callers wanting the prune
+    // should materialize the candidates first (as the export pipeline does)
+    verifiedJaccardPairs(cands, docs, idCol, textCol, n, threshold, pruneDocs = false)
   }
 
   /** 128-bit SimHash signature per doc: two independent simhash64 lanes

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   * specializes for audio. */
 object RelationalOps {
 
+  /** Join-side size dial (guide §3.1): a side small enough to broadcast is
+    * left unhinted (Catalyst broadcasts it); a larger side is hinted to a
+    * shuffled hash join — the default sort-merge pays a full sort of BOTH
+    * sides that a per-partition hash build avoids entirely. Mirrors the
+    * engine's sizeAwareJoin threshold (EngineConfig default 10 MB). */
+  private def sizeHinted(df: DataFrame, thresholdBytes: Long = 10L << 20): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= thresholdBytes) df
+    else df.hint("shuffle_hash")
+
   /** The reference's core left-outer diff join + 3-way classify (J2/J3,
     * SourceSystemDataCheckerService.java:116-146) over arbitrary key and
     * payload columns: absent in baseline ⇒ new; any payload column
@@ -20,9 +29,9 @@ object RelationalOps {
     // whose payload columns are all NULL must still classify as present
     // (reference semantics: absent row vs attribute equality are distinct,
     // SourceSystemDataCheckerService.java:132 vs :141-146)
-    val base = baseline.select(
+    val base = sizeHinted(baseline.select(
       (keyCols.map(col) ++ payloadCols.map(c => col(c).as(s"_base_$c"))) :+
-        lit(true).as("_present"): _*)
+        lit(true).as("_present"): _*))
     val changed = payloadCols.map(c => !(col(c) <=> col(s"_base_$c"))).reduce(_ || _)
     incoming.join(base, keyCols, "left_outer")
       .withColumn("outcome",
@@ -43,15 +52,31 @@ object RelationalOps {
   def diffClassifyWithRelSet(incoming: DataFrame, baseline: DataFrame,
       keyCols: Seq[String], payloadCols: Seq[String],
       incomingRel: DataFrame, baselineRel: DataFrame, relCol: String): DataFrame = {
-    def withSet(df: DataFrame, rel: DataFrame): DataFrame = {
-      val sets = rel.groupBy(keyCols.map(col): _*)
-        .agg(array_sort(collect_set(col(relCol).cast("string"))).as("_rel_set"))
-      df.join(sets, keyCols, "left_outer")
-        .withColumn("_rel_set", coalesce(col("_rel_set"), array().cast("array<string>")))
+    // The child-key SET is compared via an order-insensitive signature —
+    // (distinct count, XOR of 64-bit value hashes) — instead of a
+    // materialized sorted array: `collect_set` is a TypedImperative
+    // aggregate (ObjectHashAggregate, sort-based past the 128-key fallback
+    // threshold) whose set buffers ride two exchanges per side, while the
+    // signature stays in fixed-width whole-stage-codegen HashAggregates end
+    // to end. Sets are equal ⇔ signatures are equal, up to an engineered
+    // 64-bit hash-sum collision (the same collision class as the engine's
+    // content fingerprints); null child keys are excluded exactly as
+    // collect_set dropped them, and a missing set normalizes to (0, 0) as
+    // the empty array did.
+    def withSig(df: DataFrame, rel: DataFrame): DataFrame = {
+      val sigs = rel
+        .select(keyCols.map(col) :+ col(relCol).cast("string").as("_rv"): _*)
+        .filter(col("_rv").isNotNull)
+        .distinct()
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_rel_n"), bit_xor(xxhash64(col("_rv"))).as("_rel_h"))
+      df.join(sigs, keyCols, "left_outer")
+        .withColumn("_rel_n", coalesce(col("_rel_n"), lit(0L)))
+        .withColumn("_rel_h", coalesce(col("_rel_h"), lit(0L)))
     }
-    diffClassify(withSet(incoming, incomingRel), withSet(baseline, baselineRel),
-        keyCols, payloadCols :+ "_rel_set")
-      .drop("_rel_set")
+    diffClassify(withSig(incoming, incomingRel), withSig(baseline, baselineRel),
+        keyCols, payloadCols ++ Seq("_rel_n", "_rel_h"))
+      .drop("_rel_n", "_rel_h")
   }
 
   /** Nested two-level diff routing (J5, the reference's
@@ -75,7 +100,7 @@ object RelationalOps {
     val childClass = diffClassify(
       children, baselineChildren.drop(parentKeyCols.filterNot(childKeyCols.contains): _*),
       childKeyCols, childPayloadCols)
-    childClass.join(parents, parentKeyCols, "left_outer")
+    childClass.join(sizeHinted(parents), parentKeyCols, "left_outer")
       .withColumn("route",
         when(col("_parent_outcome").isNotNull && col("_parent_outcome") =!= Outcome.Unchanged,
           "parent")
@@ -89,13 +114,35 @@ object RelationalOps {
     * same as under condition B? Detects additions AND removals. */
   def setEqualityByKey(df: DataFrame, keyCol: String, valueCol: String,
       condA: Column, condB: Column): DataFrame = {
-    val setA = array_sort(collect_set(when(condA, col(valueCol))))
-    val setB = array_sort(collect_set(when(condB, col(valueCol))))
-    df.groupBy(col(keyCol))
-      .agg(setA.as("_a"), setB.as("_b"))
+    // Set equality via order-insensitive signatures — per side, (distinct
+    // non-null value count, XOR of 64-bit value hashes) — instead of two
+    // materialized sorted `collect_set` arrays: collect_set is a
+    // TypedImperative aggregate (ObjectHashAggregate, sort-based past the
+    // 128-key fallback threshold) whose set buffers ride both exchanges,
+    // while the signature plan is fixed-width whole-stage-codegen
+    // HashAggregate end to end. Phase 1 flags each (key, value) group's
+    // side membership; phase 2 counts/hash-XORs the flags. Sets are equal
+    // ⇔ counts AND hash-XORs match (up to an engineered 64-bit hash-XOR
+    // collision, the collision class the engine's fingerprints accept);
+    // null values are excluded exactly as collect_set dropped them.
+    val inA = max(when(condA && col(valueCol).isNotNull, 1).otherwise(0))
+    val inB = max(when(condB && col(valueCol).isNotNull, 1).otherwise(0))
+    df.groupBy(col(keyCol), col(valueCol).as("_v"))
+      .agg(inA.as("_fa"), inB.as("_fb"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("_fa")).cast("int").as("n_a"),
+        sum(col("_fb")).cast("int").as("n_b"),
+        bit_xor(when(col("_fa") === 1, xxhash64(col("_v"))).otherwise(lit(0L))).as("_ha"),
+        bit_xor(when(col("_fb") === 1, xxhash64(col("_v"))).otherwise(lit(0L))).as("_hb"))
+      // the aggregates are never null (every key has ≥1 group row); the
+      // coalesces only restore the non-nullable schema the size()/===
+      // formulation had
       .select(col(keyCol),
-        size(col("_a")).as("n_a"), size(col("_b")).as("n_b"),
-        (col("_a") === col("_b")).as("sets_equal"))
+        coalesce(col("n_a"), lit(0)).as("n_a"),
+        coalesce(col("n_b"), lit(0)).as("n_b"),
+        coalesce(col("n_a") === col("n_b") && col("_ha") === col("_hb"), lit(false))
+          .as("sets_equal"))
   }
 
   /** Compound-key state lookup with semi-join scope reduction (L1/L2): the
