@@ -111,10 +111,17 @@ final class CheckpointedRunner(store: SnapshotStore, outStore: SnapshotStore) {
     // tell the engine so the payload diff join runs co-located instead of
     // hinted onto a shuffle — at 10^12 rows that shuffle re-moves every
     // multi-KB payload per run; co-located it never moves at all.
-    val cfg0 =
-      if (store.isColocated("clips", Some(snapshotId)) && store.isColocated("baseline_clips"))
-        cfg.copy(colocatedInputs = true)
-      else cfg
+    // BOTH sides must be clustered with the SAME (key, numBuckets): two
+    // tables bucketed with different specs (e.g. the bucket count changed
+    // between corpus generations) are NOT co-located, and flagging them so
+    // would drop the shuffle_hash hint and let Catalyst plan a sort-merge
+    // join with an exchange + sort of the multi-KB payload rows — exactly
+    // the pathology the hint exists to avoid.
+    val cfg0 = (store.clusteringIfColocated("clips", Some(snapshotId)),
+        store.clusteringIfColocated("baseline_clips")) match {
+      case (Some(a), Some(b)) if a == b => cfg.copy(colocatedInputs = true)
+      case _ => cfg
+    }
 
     val done = donePartitions(spark, snapshotId)
     val pv = concat(lit(cfg.partitionCol + "="),

@@ -95,14 +95,24 @@ class SnapshotStore(root: String) {
       .collectFirst { case Array(i, k, n) if i.toLong == id => (k, n.toInt) }
   }
 
+  /** The (key, numBuckets) clustering a [[read]] at `snapshot` comes back
+    * bucketed with — defined only when the read covers exactly one snapshot
+    * and that snapshot was clustered. Callers deciding whether TWO tables
+    * can join exchange-free must compare these specs, not just their
+    * presence: co-location requires the same key AND the same bucket count
+    * on both sides. */
+  def clusteringIfColocated(table: String, snapshot: Option[Long] = None): Option[(String, Int)] = {
+    val ids = snapshots(table)
+    if (ids.isEmpty) return None
+    val upTo = snapshot.getOrElse(ids.last)
+    val covered = ids.filter(_ <= upTo)
+    if (covered.lengthCompare(1) == 0) clusteringOf(table, covered.head) else None
+  }
+
   /** True when [[read]] at `snapshot` returns a bucketed (co-locatable)
     * scan: the read covers exactly one snapshot and it was clustered. */
-  def isColocated(table: String, snapshot: Option[Long] = None): Boolean = {
-    val ids = snapshots(table)
-    val upTo = snapshot.getOrElse(if (ids.isEmpty) return false else ids.last)
-    val covered = ids.filter(_ <= upTo)
-    covered.lengthCompare(1) == 0 && clusteringOf(table, covered.head).isDefined
-  }
+  def isColocated(table: String, snapshot: Option[Long] = None): Boolean =
+    clusteringIfColocated(table, snapshot).isDefined
 
   private def claimSnapshot(table: String, tmp: java.nio.file.Path): Long = {
     var id = currentSnapshotId(table).getOrElse(-1L) + 1L
@@ -169,7 +179,14 @@ class SnapshotStore(root: String) {
   private def bucketedTable(
       spark: SparkSession, table: String, id: Long, key: String, n: Int): DataFrame = {
     val dir = tableDir(table).resolve(s"snap-$id")
-    val name = s"graft_bk_${Integer.toHexString(root.hashCode)}_" +
+    // catalog name keyed on a 128-bit digest of the FULL root path: the
+    // former 32-bit String.hashCode could collide across the many store
+    // roots one session sees (per-test temp dirs, warmup/out stores), and a
+    // collision with matching table/snapshot would silently serve the other
+    // store's LOCATION
+    val rootDigest = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val name = s"graft_bk_${rootDigest}_" +
       s"${table.replaceAll("[^A-Za-z0-9_]", "_")}_$id"
     if (!spark.catalog.tableExists(name)) {
       val schema = spark.read.parquet(dir.toString).schema

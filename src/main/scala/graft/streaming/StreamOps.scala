@@ -36,13 +36,27 @@ object StreamOps {
       val f = new java.io.File(eventsPath)
       if (f.isFile) (f.getParent, f.getName) else (eventsPath, "*")
     }
+    // Scratch root for the temp sink AND the stream's checkpoint: prefer
+    // the session's spark.local.dir (the bench points it at tmpfs) over
+    // java.io.tmpdir — the micro-batch machinery commits many small files
+    // (state store deltas, offset/commit logs, sink parquet), and on a box
+    // whose /tmp is disk-backed those fsync-heavy writes were pure I/O
+    // latency on the timed path.
+    val scratchRoot = {
+      val local = spark.sparkContext.getConf
+        .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+        .split(",").head
+      val p = java.nio.file.Paths.get(local)
+      if (java.nio.file.Files.isDirectory(p)) p
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    }
     // Sink location: on any multi-node deployment pass `sinkDir` on a
     // SHARED filesystem (DFS/object store) — executor tasks write there and
     // the driver-side read sees all of it. The temp-dir default only works
     // where driver and executors share a filesystem (local mode); it is
     // deleted after the result is materialized below.
     val outDir = sinkDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-stream-sink").toString)
+      java.nio.file.Files.createTempDirectory(scratchRoot, "graft-stream-sink").toString)
     // Query-scoped confs via an ISOLATED child session (same SparkContext,
     // own SQLConf): the stream's settings never touch the caller's session,
     // so concurrent streaming queries on one session can each size their
@@ -57,6 +71,12 @@ object StreamOps {
     // trailing no-data micro-batch only advances the watermark to evict
     // state, so skip it for a run-to-completion (AvailableNow) pass
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // checkpoint on the scratch root too (the implicit temp checkpoint
+    // would land under java.io.tmpdir); a run-to-completion pass does not
+    // resume, so it is deleted with the sink below. Each query gets its
+    // own UUID subdir, so concurrent streams don't collide.
+    val ckptDir = java.nio.file.Files.createTempDirectory(scratchRoot, "graft-stream-ckpt")
+    ss.conf.set("spark.sql.streaming.checkpointLocation", ckptDir.toString)
     val stream = ss.readStream.schema(eventsSchema)
       .option("pathGlobFilter", filter).parquet(dir)
     val agg = stream
@@ -83,12 +103,15 @@ object StreamOps {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_batch")
-    if (sinkDir.isDefined) resolved // caller owns a shared sink dir
-    else {
+    if (sinkDir.isDefined) {
+      deleteRecursively(ckptDir) // run-to-completion: nothing to resume
+      resolved // caller owns a shared sink dir
+    } else {
       // temp-dir sink: materialize (result = aggregated windows, small) so
-      // the scratch dir can be deleted instead of leaking per call
+      // the scratch dirs can be deleted instead of leaking per call
       val out = resolved.localCheckpoint(true)
       deleteRecursively(java.nio.file.Paths.get(outDir))
+      deleteRecursively(ckptDir)
       out
     }
   }

@@ -207,6 +207,38 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((20000L, 20001L, 2L), (20000L, 20002L, 2L), (20001L, 20002L, 2L)))
   }
 
+  test("minhash LSH candidate buckets are capped with a marker row, not quadratic pairs") {
+    import spark.implicits._
+    // 500 docs share one signature → every band drives them into ONE bucket
+    // (uncapped: ~125k candidate pairs from this bucket alone); plus one
+    // planted pair with its own signature elsewhere
+    val base = ((0L until 500L).map(i => (i, 0L)) ++ Seq((9000L, 1L), (9001L, 1L)))
+      .toDF("_id", "_grp")
+    val lanes = (0 until 32).map(i => xxhash64(lit(i), col("_grp")).as(s"_mh$i"))
+    val sigs = base.select((col("_id") +: lanes): _*)
+    val out = DedupOps.lshCandidatePairs(sigs, k = 32, bands = 8, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the hot bucket surfaces as exactly ONE deterministic a == b == min(id)
+    // marker row; candidates outside it are unaffected
+    assert(out.filter(v => v._1 == v._2).toSeq == Seq((0L, 0L)))
+    assert(out.filter(v => v._1 != v._2).toSet == Set((9000L, 9001L)))
+  }
+
+  test("embedding near-dup candidate buckets are capped with a marker row") {
+    import spark.implicits._
+    // 500 identical vectors collapse every band's bucket; the planted pair
+    // is the NEGATED vector, whose sign bits complement the hot bucket's in
+    // every band — guaranteed disjoint buckets
+    val v = (0 until 8).map(i => (i + 1).toFloat)
+    val neg = v.map(x => -x)
+    val rows = (0L until 500L).map(i => (i, v)) ++ Seq((9000L, neg), (9001L, neg))
+    val out = AnnOps.embeddingNearDupCandidates(rows.toDF("vec_id", "embedding"),
+        dim = 8, p = 4, bands = 8, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.filter(p => p._1 == p._2).toSeq == Seq((0L, 0L)))
+    assert(out.filter(p => p._1 != p._2).toSet == Set((9000L, 9001L)))
+  }
+
   test("fingerprint64 is deterministic, order-sensitive, collision-free on corpus") {
     val fps = docs.select(col("doc_id"), fingerprint64(col("text")).as("fp")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
