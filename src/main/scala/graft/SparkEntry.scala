@@ -271,8 +271,20 @@ object SparkEntry {
     // ------------------------------------- token-set duplicates (jaccard=1)
     "q15_dedup_tokenset" -> ((s, dir) => {
       implicit val sp: SparkSession = s
+      // Contract-scale sentinel guard: the dedup operator emits ONE
+      // deterministic `a == b, inter = -clusterSize` marker row when a
+      // duplicate cluster overflows its cap. The DuckDB oracle models real
+      // pairs only, so a marker reaching this query must FAIL LOUDLY here
+      // (raise_error) instead of silently diverging from the oracle. On
+      // the contract corpora no cluster approaches the cap, so the guard
+      // never fires and the result is unchanged.
       DedupOps.jaccardPairs(t(dir, "documents"), "doc_id", "text", 1, 1.0)
-        .select(col("a"), col("b"), col("inter"))
+        .select(
+          when(col("inter") < 0, raise_error(concat(
+              lit("q15: dedup cluster cap exceeded (marker doc_id="),
+              col("a"), lit(") — oracle contract models real pairs only")))
+            .cast("long")).otherwise(col("a")).as("a"),
+          col("b"), col("inter"))
         .orderBy("a", "b")
     }),
 

@@ -374,9 +374,17 @@ object ValidationEngine {
     * a second, suspect-filtered join re-fetches both payloads and runs the
     * SNR ≥ 30 dB allclose. AQE turns the suspect joins into broadcasts at
     * runtime when the suspect set is small. */
+  /** Baseline-side hash projection, exposed so run() can materialize it
+    * concurrently with the cur-side payload scan (the two scans are the
+    * pcm branch's serial head otherwise). */
+  private[engine] def baselineHashProjection(baseline: DataFrame): DataFrame =
+    baseline.select(col("clip_id"),
+      xxhash64(lit(3), col("bytes")).as("_bh1"), xxhash64(lit(4), col("bytes")).as("_bh2"),
+      col("transcript").as("_bt"))
+
   def classifyAgainstBaseline(events: DataFrame, baseline: DataFrame, cfg: EngineConfig,
       cacheHook: DataFrame => DataFrame = identity, keepHashes: Boolean = false,
-      hashedCur: Option[DataFrame] = None): DataFrame = {
+      hashedCur: Option[DataFrame] = None, hashedBase: Option[DataFrame] = None): DataFrame = {
     if (cfg.fullDecodeVerify) return classifyFullDecode(events, baseline, cfg)
     def h(c: Column, lane: Int): Column = xxhash64(lit(lane), c)
     // cur side: either the shared pre-hashed narrow frame (run() computes
@@ -387,9 +395,9 @@ object ValidationEngine {
     val cur = hashedCur.getOrElse(events
       .withColumn("_h1", h(col("bytes"), 3)).withColumn("_h2", h(col("bytes"), 4))
       .drop("bytes"))
-    val base = baseline.select(col("clip_id"),
+    val base = hashedBase.getOrElse(baseline.select(col("clip_id"),
       h(col("bytes"), 3).as("_bh1"), h(col("bytes"), 4).as("_bh2"),
-      col("transcript").as("_bt"))
+      col("transcript").as("_bt")))
     // `pre` — the widest shuffle in the system — is persisted (narrow:
     // hashes only, no payload) so its consumers (suspect derivation and
     // the final join) pay the exchange exactly ONCE.
@@ -402,8 +410,10 @@ object ValidationEngine {
             .when(col("_h1") === col("_bh1") && col("_h2") === col("_bh2"), Outcome.Unchanged)
             .otherwise(lit("_suspect"))))
 
-    val suspectIds = cacheHook(
-      pre.filter(col("_prelim") === "_suspect").select("clip_id").distinct())
+    // derived from the `pre` CACHE on each use — a filter over cached
+    // narrow rows; no own persist (one less materialization job) and no
+    // distinct (semi joins are duplicate-insensitive)
+    val suspectIds = pre.filter(col("_prelim") === "_suspect").select("clip_id")
     // suspect payloads re-fetched and hashed AFTER the semi join: the diff
     // lanes are recomputed for ~|suspects| rows only, instead of re-hashing
     // every payload in the corpus a second time (the r3 plan's cost).
@@ -438,13 +448,13 @@ object ValidationEngine {
     * exactly this dedup). */
   private def pcmViolations(rawClips: DataFrame, baseline: DataFrame, rule: PcmEquality,
       cfg: EngineConfig, cacheHook: DataFrame => DataFrame,
-      hashedCur: Option[DataFrame] = None): DataFrame = {
+      hashedCur: Option[DataFrame] = None, hashedBase: Option[DataFrame] = None): DataFrame = {
     val metaCols = rawClips.columns.filterNot(_ == "bytes").toSeq
     val dedupKey =
       if (cfg.fullDecodeVerify) metaCols :+ "bytes"
       else metaCols ++ Seq("_h1", "_h2")
     classifyAgainstBaseline(rawClips, baseline,
-        cfg.copy(minSnrDb = rule.minSnrDb), cacheHook, keepHashes = true, hashedCur)
+        cfg.copy(minSnrDb = rule.minSnrDb), cacheHook, keepHashes = true, hashedCur, hashedBase)
       .filter(col("outcome") =!= Outcome.Unchanged)
       .dropDuplicates(dedupKey)
       .select(col("clip_id"), lit(rule.ruleId).as("rule_id"),
@@ -522,16 +532,50 @@ object ValidationEngine {
       if (cfg.fullDecodeVerify || !cfg.persistEvents) None
       else Some {
         val metaCols = clips.columns.filterNot(_ == "bytes").map(col).toSeq
-        val hm = cacheHook(clips.select(metaCols ++ Seq(
+        cacheHook(clips.select(metaCols ++ Seq(
           xxhash64(lit(3), col("bytes")).as("_h1"),
           xxhash64(lit(4), col("bytes")).as("_h2")): _*))
-        val prev = spark.sparkContext.getLocalProperty("spark.job.description")
-        spark.sparkContext.setJobDescription("graft:payload-hash-scan")
-        try hm.count() finally spark.sparkContext.setJobDescription(prev)
-        hm
       }
+    // the baseline-side hash projection is narrow too (clip_id + 2 hash
+    // lanes + transcript) — persist it and scan it CONCURRENTLY with the
+    // cur-side scan below: the two payload scans were the pcm branch's
+    // serial head (~the two most expensive stages of the run, back to back).
+    // Built ONLY when a pcm rule exists: `baseline` is by-name precisely so
+    // a run with stored drift sketches and no pcm rule never reads it.
+    val hashedBase: Option[DataFrame] =
+      if (!rules.exists(_.isInstanceOf[PcmEquality])) None
+      else payloadHash.map(_ => cacheHook(baselineHashProjection(baselineDf)))
 
-    // ---- the pcm branch reads ONLY the shared payload-hash frame (or, in
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // job-group tag does not cross into pooled threads on its own — re-tag
+    // so a CheckpointedRunner's per-run metrics still see the pcm jobs
+    val jobGroup = Option(spark.sparkContext.getLocalProperty("spark.jobGroup.id"))
+    def tagged[T](descr: String)(body: => T): T = {
+      val prevDesc = spark.sparkContext.getLocalProperty("spark.job.description")
+      jobGroup.foreach(g => spark.sparkContext.setJobGroup(g, s"graft run $g", false))
+      spark.sparkContext.setJobDescription(descr)
+      try body
+      finally {
+        jobGroup.foreach(_ => spark.sparkContext.clearJobGroup())
+        spark.sparkContext.setJobDescription(prevDesc)
+      }
+    }
+    // both single-scan materializations run in parallel (baseline on a
+    // pooled thread, clips on this one) BEFORE the branch fan-out: the pcm
+    // future and the meta chain would otherwise race the cold caches and
+    // compute the scans twice
+    val baseScanF: Future[Unit] = hashedBase match {
+      case None => Future.successful(())
+      case Some(b) => Future { tagged("graft:baseline-hash-scan") { b.count(); () } }
+    }
+    payloadHash.foreach { hm =>
+      val prev = spark.sparkContext.getLocalProperty("spark.job.description")
+      spark.sparkContext.setJobDescription("graft:payload-hash-scan")
+      try hm.count() finally spark.sparkContext.setJobDescription(prev)
+    }
+
+    // ---- the pcm branch reads ONLY the shared payload-hash frames (or, in
     // full-decode mode, the raw clips) + baseline tables — nothing it needs
     // waits on the dedup/stats caches — so its (dominant) evaluation is
     // launched concurrently below while this thread populates the metadata
@@ -539,20 +583,18 @@ object ValidationEngine {
     // that hides the whole metadata chain behind the payload diff join.
     val pcmBranches: Seq[DataFrame] =
       rules.collect { case p: PcmEquality =>
-        pcmViolations(clips, baselineDf, p, cfg, cacheHook, payloadHash) }
+        pcmViolations(clips, baselineDf, p, cfg, cacheHook, payloadHash, hashedBase) }
     val pcmUnion = pcmBranches.reduceOption(_ unionByName _).map(df => df.persist())
     def branchCounts(df: DataFrame): Map[(String, String), Long] = df
       .groupBy(col(PV), col("rule_id")).agg(count(lit(1)).as("violation_count"))
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    // job-group tag does not cross into pooled threads on its own — re-tag
-    // so a CheckpointedRunner's per-run metrics still see the pcm jobs
-    val jobGroup = Option(spark.sparkContext.getLocalProperty("spark.jobGroup.id"))
     val pcmCountsF: Future[Map[(String, String), Long]] = pcmUnion match {
       case None => Future.successful(Map.empty)
       case Some(u) => Future {
+        // the baseline-hash cache must be fully populated before any action
+        // touches plans containing it (cold-cache race, as above)
+        Await.result(baseScanF, scala.concurrent.duration.Duration.Inf)
         // the tag lives in the pooled thread's local properties, and global
         // ExecutionContext threads are REUSED — clear in finally (job group
         // AND description) or a later caller's action on this thread
@@ -624,11 +666,16 @@ object ValidationEngine {
         org.apache.spark.sql.types.StructField("observed", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("expected", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField(PV, org.apache.spark.sql.types.StringType))))
-    // violations are the SMALL output (only failing rows): both unions are
-    // persisted so their consumers (violation counts here, the caller's
+    // violations are the SMALL output (only failing rows): every branch is
+    // persisted so its consumers (violation counts here, the caller's
     // violations write, lineage) run the expensive rule branches exactly
-    // once. metaUnion is counted on THIS thread while the pcm future runs.
-    val metaUnion = metaBranches.reduceOption(_ unionByName _).map(_.persist())
+    // once. Branches are counted as CONCURRENT jobs below (the scheduler
+    // back-fills executors across them, guide §2.6): counted as one union
+    // they materialized ~15 exchange stages back to back, a pure
+    // driver-latency tail that ran AFTER the pcm branch had already
+    // finished — measured as the longest serial span of the whole run.
+    val metaBranchesP = metaBranches.map(_.persist())
+    val metaUnion = metaBranchesP.reduceOption(_ unionByName _)
     val allViolations = (pcmUnion.toSeq ++ metaUnion.toSeq)
       .foldLeft(emptyViolations)(_ unionByName _)
 
@@ -642,11 +689,18 @@ object ValidationEngine {
     // the distributed formulation it replaces cost ~7 tiny AQE-scheduled
     // exchange/broadcast stages of pure driver latency per run — a direct
     // bite out of the serial term that caps small-corpus scaling.
-    val metaCounts = {
-      val prev = spark.sparkContext.getLocalProperty("spark.job.description")
-      spark.sparkContext.setJobDescription("graft:meta-counts")
-      try metaUnion.map(branchCounts).getOrElse(Map.empty)
-      finally spark.sparkContext.setJobDescription(prev)
+    val metaCounts: Map[(String, String), Long] = {
+      // one concurrent counting job per persisted branch: independent
+      // branch DAGs materialize their stages in parallel instead of as one
+      // union's sequential AQE chain; per-branch sums add up to the union's
+      // counts because the union is bag semantics (unionByName, no
+      // distinct). Each count also populates its branch's cache, so the
+      // caller's violations output replays no rule work.
+      val fs = metaBranchesP.map(b => Future {
+        tagged("graft:meta-counts") { branchCounts(b) }
+      })
+      fs.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+        .flatMap(_.toSeq).groupMapReduce(_._1)(_._2)(_ + _)
     }
     val pcmCounts = Await.result(pcmCountsF, scala.concurrent.duration.Duration.Inf)
     val vCounts: Map[(String, String), Long] =
@@ -689,6 +743,6 @@ object ValidationEngine {
     ValidationReport(
       verdicts = spark.createDataFrame(verdictRows, verdictSchema),
       violations = allViolations.drop(PV),
-      cached = Seq(eventsMeta, stats) ++ pcmUnion.toSeq ++ metaUnion.toSeq ++ extraCaches.toSeq)
+      cached = Seq(eventsMeta, stats) ++ pcmUnion.toSeq ++ metaBranchesP ++ extraCaches.toSeq)
   }
 }
