@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * specializes for audio. */
 object RelationalOps {
 
-  /** Join-side size dial (guide §3.1): a side small enough to broadcast is
-    * left unhinted (Catalyst broadcasts it); a larger side is hinted to a
-    * shuffled hash join — the default sort-merge pays a full sort of BOTH
-    * sides that a per-partition hash build avoids entirely. Mirrors the
-    * engine's sizeAwareJoin threshold (EngineConfig default 10 MB). */
-  private def sizeHinted(df: DataFrame, thresholdBytes: Long = 10L << 20): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= thresholdBytes) df
-    else df.hint("shuffle_hash")
+  // Join strategy note (r6 A/B, guide §3.1): these diff joins carry NARROW
+  // metadata rows, so they are deliberately left UNHINTED — AQE converts
+  // the planned sort-merge join to a broadcast join at runtime whenever the
+  // baseline/parents side's ACTUAL post-shuffle size fits (estimates are
+  // inflated and would mis-trigger a static hint), and a measured
+  // shuffle_hash hint variant was strictly slower because the hint survives
+  // AQE replanning and blocks exactly that conversion. The engine's
+  // sizeAwareJoin keeps its explicit shuffle_hash because ITS rows carry
+  // multi-KB payloads where the sort-merge sort is the known pathology.
 
   /** The reference's core left-outer diff join + 3-way classify (J2/J3,
     * SourceSystemDataCheckerService.java:116-146) over arbitrary key and
@@ -29,9 +30,9 @@ object RelationalOps {
     // whose payload columns are all NULL must still classify as present
     // (reference semantics: absent row vs attribute equality are distinct,
     // SourceSystemDataCheckerService.java:132 vs :141-146)
-    val base = sizeHinted(baseline.select(
+    val base = baseline.select(
       (keyCols.map(col) ++ payloadCols.map(c => col(c).as(s"_base_$c"))) :+
-        lit(true).as("_present"): _*))
+        lit(true).as("_present"): _*)
     val changed = payloadCols.map(c => !(col(c) <=> col(s"_base_$c"))).reduce(_ || _)
     incoming.join(base, keyCols, "left_outer")
       .withColumn("outcome",
@@ -59,14 +60,19 @@ object RelationalOps {
     // threshold) whose set buffers ride two exchanges per side, while the
     // signature stays in fixed-width whole-stage-codegen HashAggregates end
     // to end. Sets are equal ⇔ signatures are equal, up to an engineered
-    // 64-bit hash-sum collision (the same collision class as the engine's
+    // 64-bit hash-XOR collision (the same collision class as the engine's
     // content fingerprints); null child keys are excluded exactly as
     // collect_set dropped them, and a missing set normalizes to (0, 0) as
     // the empty array did.
     def withSig(df: DataFrame, rel: DataFrame): DataFrame = {
+      // ONE exchange for both aggregation levels: hash-partitioning by the
+      // parent key alone already clusters (key, value) — Catalyst accepts a
+      // subset partitioning for both the distinct and the per-key rollup,
+      // so neither grouping adds its own exchange
       val sigs = rel
         .select(keyCols.map(col) :+ col(relCol).cast("string").as("_rv"): _*)
         .filter(col("_rv").isNotNull)
+        .repartition(keyCols.map(col): _*)
         .distinct()
         .groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("_rel_n"), bit_xor(xxhash64(col("_rv"))).as("_rel_h"))
@@ -100,7 +106,7 @@ object RelationalOps {
     val childClass = diffClassify(
       children, baselineChildren.drop(parentKeyCols.filterNot(childKeyCols.contains): _*),
       childKeyCols, childPayloadCols)
-    childClass.join(sizeHinted(parents), parentKeyCols, "left_outer")
+    childClass.join(parents, parentKeyCols, "left_outer")
       .withColumn("route",
         when(col("_parent_outcome").isNotNull && col("_parent_outcome") =!= Outcome.Unchanged,
           "parent")
@@ -127,7 +133,11 @@ object RelationalOps {
     // null values are excluded exactly as collect_set dropped them.
     val inA = max(when(condA && col(valueCol).isNotNull, 1).otherwise(0))
     val inB = max(when(condB && col(valueCol).isNotNull, 1).otherwise(0))
-    df.groupBy(col(keyCol), col(valueCol).as("_v"))
+    // one exchange for both levels: partitioning by the key alone clusters
+    // (key, value) too, so the flag aggregation and the per-key rollup both
+    // run on the same hash partitioning
+    df.repartition(col(keyCol))
+      .groupBy(col(keyCol), col(valueCol).as("_v"))
       .agg(inA.as("_fa"), inB.as("_fb"))
       .groupBy(col(keyCol))
       .agg(
