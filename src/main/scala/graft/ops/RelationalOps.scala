@@ -57,7 +57,8 @@ object RelationalOps {
     // (distinct count, XOR of 64-bit value hashes) — instead of a
     // materialized sorted array: `collect_set` is a TypedImperative
     // aggregate (ObjectHashAggregate, sort-based past the 128-key fallback
-    // threshold) whose set buffers ride two exchanges per side, while the
+    // threshold) whose partial set buffers ride the aggregation exchange on
+    // each side, while the
     // signature stays in fixed-width whole-stage-codegen HashAggregates end
     // to end. Sets are equal ⇔ signatures are equal, up to an engineered
     // 64-bit hash-XOR collision (the same collision class as the engine's
@@ -124,7 +125,8 @@ object RelationalOps {
     // non-null value count, XOR of 64-bit value hashes) — instead of two
     // materialized sorted `collect_set` arrays: collect_set is a
     // TypedImperative aggregate (ObjectHashAggregate, sort-based past the
-    // 128-key fallback threshold) whose set buffers ride both exchanges,
+    // 128-key fallback threshold) whose partial set buffers ride the
+    // aggregation exchange,
     // while the signature plan is fixed-width whole-stage-codegen
     // HashAggregate end to end. Phase 1 flags each (key, value) group's
     // side membership; phase 2 counts/hash-XORs the flags. Sets are equal
